@@ -1,0 +1,93 @@
+"""Configuration system.
+
+Two layers, mirroring the reference's split between the static CLI `Config`
+store (/root/reference/src/common/Configuration.h:41-69) and the runtime
+ImGui-mutable state (DeferredRenderer.h:111-125):
+
+  * ``RenderConfig`` -- static, hashable compile-time options (resolution,
+    sample counts, bounce depth, toggles). Changing one re-jits, like the
+    reference's shader-reload path.
+  * ``SunLight`` -- a differentiable pytree of lighting parameters (sun
+    direction/radiance/angular size, sky color). These are *inputs* to the
+    jitted frame so they can be adjusted every frame and differentiated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+try:  # flax.struct gives us a frozen pytree dataclass for traced params
+    from flax import struct
+except ImportError:  # pragma: no cover
+    struct = None
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static render options (hashable -> usable as a jit static arg)."""
+
+    width: int = 256
+    height: int = 256
+    spp: int = 1
+    # Path depth: reference default 8, UI range 1-32 (DeferredRenderer.h:118-125)
+    max_bounces: int = 8
+    # Russian-roulette-style throughput cutoff (reference UI "throughput threshold")
+    throughput_threshold: float = 0.0
+    # Feature toggles
+    enable_gi: bool = True
+    enable_svgf: bool = True
+    enable_nrc: bool = False
+    enable_tonemap: bool = True
+    jitter_primary: bool = False
+    # SVGF (constants from SVGFDenoiser.h:76-92)
+    svgf_temporal_alpha: float = 0.9
+    svgf_depth_sigma: float = 0.002
+    svgf_variance_eps: float = 1e-4
+    svgf_phi_color: float = 4.0 / 255.0
+    svgf_phi_normal: float = 128.0
+    svgf_phi_depth: float = 0.002
+    svgf_atrous_passes: int = 4
+    # NRC
+    nrc_max_path_vertices: int = 8
+    nrc_train_fraction: float = 0.25  # training rays as fraction of pixels per dim
+    nrc_self_training: bool = True
+    nrc_learning_rate: float = 1e-2
+    nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
+    # Tracer selection: "auto" | "bruteforce" | "bvh"
+    tracer: str = "auto"
+    # Brute force is faster below this triangle count (whole scene fits VMEM)
+    bruteforce_max_tris: int = 4096
+
+
+if struct is not None:
+
+    @struct.dataclass
+    class SunLight:
+        """Differentiable lighting parameters (a JAX pytree)."""
+
+        direction: object  # [3] unit vector toward the sun
+        radiance: object  # [3] W/sr/m^2
+        tan_half_angle: object  # scalar, sun disk angular radius
+        sky_color: object  # [3] constant sky radiance
+
+        @staticmethod
+        def default(xp=np):
+            d = xp.asarray([0.35, 0.8, 0.45], xp.float32)
+            d = d / xp.sqrt((d * d).sum())
+            return SunLight(
+                direction=d,
+                radiance=xp.asarray([10.0, 9.5, 9.0], xp.float32),
+                tan_half_angle=xp.asarray(0.00465, xp.float32),  # ~0.53 deg sun
+                sky_color=xp.asarray([0.3, 0.45, 0.7], xp.float32),
+            )
+
+else:  # pragma: no cover
+
+    @dataclass
+    class SunLight:
+        direction: np.ndarray = field(default_factory=lambda: np.array([0.35, 0.8, 0.45]))
+        radiance: np.ndarray = field(default_factory=lambda: np.array([10.0, 9.5, 9.0]))
+        tan_half_angle: float = 0.00465
+        sky_color: np.ndarray = field(default_factory=lambda: np.array([0.3, 0.45, 0.7]))

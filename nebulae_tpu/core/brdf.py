@@ -1,0 +1,150 @@
+"""Cook-Torrance + Lambert BRDF and sampling routines.
+
+Behavioural port of the reference's BRDF library
+(/root/reference/assets/shaders/brdf.hlsli: GGX Trowbridge-Reitz NDF,
+Smith/Schlick-GGX geometry, Schlick Fresnel, F0 = lerp(0.04, albedo, metal),
+cosine-hemisphere sampling) and sun-disk cone sampling
+(assets/shaders/sun_disk_sampling.hlsli, used by pathtracer.hlsl:546-576).
+
+Everything is xp-generic (numpy or jax.numpy) and float32 so that the CPU
+reference tracer and the jitted TPU pipeline execute *the same arithmetic* --
+this module is the single source of truth for shading math, which is what
+makes the allclose oracle meaningful.
+
+RNG draw-order contract (both tracers must follow it exactly):
+  per sample:  [optional 2 draws pixel jitter]
+  per path vertex (incl. primary): 2 draws sun-disk NEE, then 2 draws
+  cosine-hemisphere indirect direction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nebulae_tpu.core import math as nmath
+
+F0_DIELECTRIC = 0.04
+PI = 3.14159265358979
+
+
+def _xp(a):
+    if isinstance(a, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def fresnel_schlick(cos_theta, f0, xp):
+    c = xp.clip(cos_theta, 0.0, 1.0)
+    return f0 + (1.0 - f0) * (1.0 - c) ** 5
+
+
+def ggx_ndf(n_dot_h, alpha, xp):
+    a2 = alpha * alpha
+    d = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / xp.maximum(PI * d * d, 1e-8)
+
+
+def smith_g1(n_dot_x, alpha, xp):
+    # Schlick-GGX: k = alpha/2 (direct lighting form used by the reference)
+    k = alpha * 0.5
+    return n_dot_x / xp.maximum(n_dot_x * (1.0 - k) + k, 1e-8)
+
+
+def base_f0(albedo, metalness, xp):
+    return (
+        F0_DIELECTRIC * (1.0 - metalness[..., None]) + albedo * metalness[..., None]
+    )
+
+
+def eval_brdf(n, v, l, albedo, roughness, metalness, xp=None):
+    """Cook-Torrance specular + Lambert diffuse; returns f(v,l) (no cosine).
+
+    n, v, l: [..., 3] unit vectors (v, l point away from the surface).
+    albedo: [..., 3]; roughness/metalness: [...].
+    """
+    xp = xp or _xp(n)
+    h = nmath.normalize(v + l)
+    n_dot_l = xp.clip(nmath.dot(n, l)[..., 0], 0.0, 1.0)
+    n_dot_v = xp.clip(nmath.dot(n, v)[..., 0], 0.0, 1.0)
+    n_dot_h = xp.clip(nmath.dot(n, h)[..., 0], 0.0, 1.0)
+    v_dot_h = xp.clip(nmath.dot(v, h)[..., 0], 0.0, 1.0)
+    alpha = xp.maximum(roughness * roughness, 1e-3)
+    f0 = base_f0(albedo, metalness, xp)
+    fres = fresnel_schlick(v_dot_h[..., None], f0, xp)
+    d = ggx_ndf(n_dot_h, alpha, xp)
+    g = smith_g1(n_dot_l, alpha, xp) * smith_g1(n_dot_v, alpha, xp)
+    spec = fres * (d * g / xp.maximum(4.0 * n_dot_l * n_dot_v, 1e-8))[..., None]
+    kd = (1.0 - fres) * (1.0 - metalness[..., None])
+    diffuse = kd * albedo / PI
+    return diffuse + spec
+
+
+def diffuse_reflectance(albedo, metalness, xp=None):
+    """Energy reaching the diffuse lobe (reference multiplies throughput by
+    this at the primary vertex, pathtracer.hlsl:474-479)."""
+    xp = xp or _xp(albedo)
+    return albedo * (1.0 - metalness[..., None])
+
+
+def specular_probability(albedo, metalness, n_dot_v, xp=None):
+    """Lobe-selection heuristic: fresnel-weighted specular luminance vs diffuse,
+    clamped to [0.1, 0.9] (brdf.hlsli:130-146 behaviour)."""
+    xp = xp or _xp(albedo)
+    f0 = base_f0(albedo, metalness, xp)
+    fres = fresnel_schlick(n_dot_v[..., None], f0, xp)
+    s = nmath.luminance(fres, xp)
+    d = nmath.luminance(diffuse_reflectance(albedo, metalness, xp), xp)
+    p = s / xp.maximum(s + d, 1e-8)
+    return xp.clip(p, 0.1, 0.9)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+def cosine_hemisphere_sample(u1, u2, n, xp=None):
+    """Cosine-weighted direction around unit normal n. pdf = cos/pi."""
+    xp = xp or _xp(n)
+    r = xp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    t, b = nmath.build_orthonormal_basis(n, xp)
+    x = r * xp.cos(phi)
+    y = r * xp.sin(phi)
+    z = xp.sqrt(xp.maximum(1.0 - u1, 0.0))
+    return nmath.normalize(x[..., None] * t + y[..., None] * b + z[..., None] * n)
+
+
+def sun_disk_sample(u1, u2, sun_dir, tan_half_angle, xp=None):
+    """Uniform direction in the sun's cone (tangent-frame disk offset), the
+    NEE light sampling of pathtracer.hlsl:546-576.  sun_dir points *toward*
+    the sun (away from surfaces)."""
+    xp = xp or _xp(sun_dir)
+    t, b = nmath.build_orthonormal_basis(sun_dir, xp)
+    r = xp.sqrt(u1) * tan_half_angle
+    phi = 2.0 * PI * u2
+    d = sun_dir + r[..., None] * (xp.cos(phi)[..., None] * t + xp.sin(phi)[..., None] * b)
+    return nmath.normalize(d)
+
+
+def offset_ray_origin(p, n, scale: float = 1e-4):
+    """Self-intersection avoidance: offset along the geometric normal.
+
+    (The reference uses the RT-Gems integer-ulp OffsetRay; a scaled normal
+    offset is sufficient at our scene scales and is differentiable.)
+    """
+    return p + n * scale
+
+
+# ---------------------------------------------------------------------------
+# Sky / sun lighting model (single directional sun-disk + constant sky,
+# DeferredRenderer's scene lighting model)
+# ---------------------------------------------------------------------------
+
+
+def sky_radiance(d, sky_color, xp=None):
+    """Constant sky color (reference: UI-set constant sky)."""
+    xp = xp or _xp(d)
+    return xp.broadcast_to(xp.asarray(sky_color, xp.float32), d.shape[:-1] + (3,))

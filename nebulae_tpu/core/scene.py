@@ -1,0 +1,210 @@
+"""Scene representation: glTF instances flattened to device-ready SoA tables.
+
+TPU-native equivalent of the reference's ``GIProcessedScene`` bindless scene
+flattening (/root/reference/src/nri/GIProcessedScene.h:17-118): instead of
+bindless descriptor tables pointing at per-submesh buffers, every triangle of
+every instance is baked into one set of flat, static-shape arrays that live in
+HBM and are gathered by index inside kernels.
+
+Layout (T = total triangles, M = materials, K = textures):
+  tri_pos      [T, 3, 3] f32   world-space vertex positions (v0, v1, v2)
+  tri_nrm      [T, 3, 3] f32   world-space shading normals per corner
+  tri_uv       [T, 3, 2] f32   texture coordinates per corner
+  tri_tan      [T, 3, 4] f32   world-space tangents (xyz) + handedness (w)
+  tri_mat      [T]       i32   material index
+  mat_*        [M, ...]        material factor tables
+  textures     [K, TH, TW, 4] u8  padded texture stack + per-texture (h, w)
+
+Triangles are pre-transformed to world space (static scene; the reference
+likewise builds one static BLAS from all submeshes,
+DeferredRenderer.cpp:978-1030).  Dynamic transforms are handled by the BVH
+refit path on top of these arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from nebulae_tpu.core import math as nmath
+from nebulae_tpu.core.gltf import GLTFAsset, MaterialDesc, load_gltf
+
+# Material flag bits (mirrors the role of the reference's material flags,
+# /root/reference/src/nri/Material.h:10-49)
+MAT_HAS_BASECOLOR_TEX = 1 << 0
+MAT_HAS_METALROUGH_TEX = 1 << 1
+MAT_HAS_NORMAL_TEX = 1 << 2
+MAT_HAS_EMISSIVE_TEX = 1 << 3
+MAT_DOUBLE_SIDED = 1 << 4
+
+
+@dataclass
+class FlatScene:
+    """Static-shape SoA scene tables (host numpy; move with jax.device_put)."""
+
+    tri_pos: np.ndarray
+    tri_nrm: np.ndarray
+    tri_uv: np.ndarray
+    tri_tan: np.ndarray
+    tri_mat: np.ndarray
+    # material tables
+    mat_base_color: np.ndarray  # [M, 4]
+    mat_metallic: np.ndarray  # [M]
+    mat_roughness: np.ndarray  # [M]
+    mat_emissive: np.ndarray  # [M, 3]
+    mat_tex_ids: np.ndarray  # [M, 4] i32: base/mr/normal/emissive (-1 = none)
+    mat_flags: np.ndarray  # [M] i32
+    # texture stack
+    textures: np.ndarray  # [K, TH, TW, 4] u8 (K may be 0)
+    tex_hw: np.ndarray  # [K, 2] i32 actual (h, w)
+    # bounds
+    aabb_min: np.ndarray  # [3]
+    aabb_max: np.ndarray  # [3]
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_pos.shape[0])
+
+    @property
+    def num_materials(self) -> int:
+        return int(self.mat_base_color.shape[0])
+
+    def device_arrays(self) -> dict:
+        """The pytree of arrays kernels consume (excludes host-only metadata)."""
+        return {
+            "tri_pos": self.tri_pos,
+            "tri_nrm": self.tri_nrm,
+            "tri_uv": self.tri_uv,
+            "tri_tan": self.tri_tan,
+            "tri_mat": self.tri_mat,
+            "mat_base_color": self.mat_base_color,
+            "mat_metallic": self.mat_metallic,
+            "mat_roughness": self.mat_roughness,
+            "mat_emissive": self.mat_emissive,
+            "mat_tex_ids": self.mat_tex_ids,
+            "mat_flags": self.mat_flags,
+            "textures": self.textures,
+            "tex_hw": self.tex_hw,
+            "aabb_min": self.aabb_min,
+            "aabb_max": self.aabb_max,
+        }
+
+
+@dataclass
+class Scene:
+    """High-level scene: asset + flattened tables (the `core::Scene` analogue,
+    /root/reference/src/core/Scene.h:13-32)."""
+
+    asset: GLTFAsset
+    flat: FlatScene
+
+
+def _pack_materials(mats: list[MaterialDesc]):
+    m = len(mats)
+    base = np.zeros((m, 4), np.float32)
+    metal = np.zeros(m, np.float32)
+    rough = np.zeros(m, np.float32)
+    emis = np.zeros((m, 3), np.float32)
+    tex = np.full((m, 4), -1, np.int32)
+    flags = np.zeros(m, np.int32)
+    for i, md in enumerate(mats):
+        base[i] = md.base_color_factor
+        metal[i] = md.metallic_factor
+        rough[i] = md.roughness_factor
+        emis[i] = md.emissive_factor
+        tex[i] = [md.base_color_tex, md.metallic_roughness_tex, md.normal_tex, md.emissive_tex]
+        f = 0
+        f |= MAT_HAS_BASECOLOR_TEX if md.base_color_tex >= 0 else 0
+        f |= MAT_HAS_METALROUGH_TEX if md.metallic_roughness_tex >= 0 else 0
+        f |= MAT_HAS_NORMAL_TEX if md.normal_tex >= 0 else 0
+        f |= MAT_HAS_EMISSIVE_TEX if md.emissive_tex >= 0 else 0
+        f |= MAT_DOUBLE_SIDED if md.double_sided else 0
+        flags[i] = f
+    return base, metal, rough, emis, tex, flags
+
+
+def _pack_textures(images: list[np.ndarray], max_dim: int | None = None):
+    """Stack variable-size images into one padded [K, TH, TW, 4] u8 array.
+
+    Static shapes are mandatory under jit; padding wastes some HBM but keeps
+    texture sampling a single gather. ``max_dim`` optionally downsamples large
+    textures (area mean) to bound memory.
+    """
+    if not images:
+        return np.zeros((0, 1, 1, 4), np.uint8), np.zeros((0, 2), np.int32)
+    proc = []
+    for img in images:
+        if max_dim is not None and max(img.shape[:2]) > max_dim:
+            import cv2
+
+            h, w = img.shape[:2]
+            s = max_dim / max(h, w)
+            img = cv2.resize(img, (max(1, int(w * s)), max(1, int(h * s))), interpolation=cv2.INTER_AREA)
+        proc.append(img)
+    th = max(i.shape[0] for i in proc)
+    tw = max(i.shape[1] for i in proc)
+    stack = np.zeros((len(proc), th, tw, 4), np.uint8)
+    hw = np.zeros((len(proc), 2), np.int32)
+    for k, img in enumerate(proc):
+        stack[k, : img.shape[0], : img.shape[1]] = img
+        hw[k] = img.shape[:2]
+    return stack, hw
+
+
+def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatScene:
+    """Bake all instances into world-space triangle SoA tables."""
+    pos_l, nrm_l, uv_l, tan_l, mat_l = [], [], [], [], []
+    for inst in asset.instances:
+        p = inst.primitive
+        world = inst.world.astype(np.float64)
+        nmat = nmath.normal_matrix(world)
+        wpos = (p.positions @ world[:3, :3].T + world[:3, 3]).astype(np.float32)
+        wnrm = p.normals @ nmat.T
+        wnrm = (wnrm / np.maximum(np.linalg.norm(wnrm, axis=-1, keepdims=True), 1e-12)).astype(
+            np.float32
+        )
+        wtan_xyz = p.tangents[:, :3] @ world[:3, :3].T
+        wtan_xyz = wtan_xyz / np.maximum(np.linalg.norm(wtan_xyz, axis=-1, keepdims=True), 1e-12)
+        wtan = np.concatenate([wtan_xyz, p.tangents[:, 3:4]], axis=-1).astype(np.float32)
+        f = p.indices.reshape(-1, 3).astype(np.int64)
+        pos_l.append(wpos[f])  # [t, 3, 3]
+        nrm_l.append(wnrm[f])
+        uv_l.append(p.uvs[f])
+        tan_l.append(wtan[f])
+        mat_l.append(np.full(f.shape[0], p.material, np.int32))
+
+    tri_pos = np.concatenate(pos_l) if pos_l else np.zeros((0, 3, 3), np.float32)
+    tri_nrm = np.concatenate(nrm_l) if nrm_l else np.zeros((0, 3, 3), np.float32)
+    tri_uv = np.concatenate(uv_l) if uv_l else np.zeros((0, 3, 2), np.float32)
+    tri_tan = np.concatenate(tan_l) if tan_l else np.zeros((0, 3, 4), np.float32)
+    tri_mat = np.concatenate(mat_l) if mat_l else np.zeros(0, np.int32)
+
+    base, metal, rough, emis, tex, flags = _pack_materials(asset.materials)
+    textures, tex_hw = _pack_textures(asset.images, max_texture_dim)
+
+    return FlatScene(
+        tri_pos=tri_pos,
+        tri_nrm=tri_nrm,
+        tri_uv=tri_uv,
+        tri_tan=tri_tan,
+        tri_mat=tri_mat,
+        mat_base_color=base,
+        mat_metallic=metal,
+        mat_roughness=rough,
+        mat_emissive=emis,
+        mat_tex_ids=tex,
+        mat_flags=flags,
+        textures=textures,
+        tex_hw=tex_hw,
+        aabb_min=asset.aabb_min.astype(np.float32),
+        aabb_max=asset.aabb_max.astype(np.float32),
+    )
+
+
+def load_scene(
+    path: str | Path, load_images: bool = True, max_texture_dim: int | None = None
+) -> Scene:
+    asset = load_gltf(path, load_images=load_images)
+    return Scene(asset=asset, flat=flatten_asset(asset, max_texture_dim))

@@ -1,0 +1,80 @@
+"""Gather-based texture sampling (bilinear, wrap/clamp) + sRGB conversion.
+
+TPU has no texture units; sampling is 4 gathers + a lerp on the VPU.  The
+reference samples sRGB8 textures through hardware sRGB->linear conversion and
+bilinear filtering (deferred_gbuffers.hlsl / pathtracer.hlsl material fetch);
+we reproduce both in float math.  Works on the padded texture stack produced
+by scene.flatten_scene: textures [K, TH, TW, 4] u8 with per-texture (h, w).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _xp(a):
+    if isinstance(a, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def srgb_to_linear(c):
+    """Exact piecewise sRGB EOTF on [0,1] values."""
+    xp = _xp(c)
+    lo = c / 12.92
+    hi = ((c + 0.055) / 1.055) ** 2.4
+    return xp.where(c <= 0.04045, lo, hi)
+
+
+def linear_to_srgb(c):
+    xp = _xp(c)
+    c = xp.clip(c, 0.0, 1.0)
+    lo = c * 12.92
+    hi = 1.055 * xp.maximum(c, 1e-8) ** (1.0 / 2.4) - 0.055
+    return xp.where(c <= 0.0031308, lo, hi)
+
+
+def sample_bilinear(textures, tex_hw, tex_id, uv, xp=None):
+    """Bilinear sample with REPEAT wrap.
+
+    textures: [K, TH, TW, 4] u8; tex_hw: [K, 2] i32; tex_id: [...] i32
+    (entries may be -1: result is garbage there, callers mask by flag);
+    uv: [..., 2] f32.  Returns [..., 4] f32 in [0, 1].
+    """
+    xp = xp or _xp(uv)
+    tid = xp.clip(tex_id, 0, max(int(textures.shape[0]) - 1, 0))
+    hw = tex_hw[tid]  # [..., 2]
+    h = hw[..., 0].astype(xp.float32)
+    w = hw[..., 1].astype(xp.float32)
+    # REPEAT wrap to [0, 1)
+    u = uv[..., 0] - xp.floor(uv[..., 0])
+    v = uv[..., 1] - xp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = xp.floor(x)
+    y0f = xp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    hi = hw[..., 0] - 1
+    wi = hw[..., 1] - 1
+
+    def wrap(i, n):  # integer repeat wrap
+        return xp.where(i < 0, i + n, xp.where(i >= n, i - n, i))
+
+    x0 = wrap(x0f.astype(xp.int32), wi + 1)
+    y0 = wrap(y0f.astype(xp.int32), hi + 1)
+    x1 = wrap(x0 + 1, wi + 1)
+    y1 = wrap(y0 + 1, hi + 1)
+
+    def fetch(yy, xx):
+        return textures[tid, yy, xx].astype(xp.float32) / 255.0
+
+    c00 = fetch(y0, x0)
+    c01 = fetch(y0, x1)
+    c10 = fetch(y1, x0)
+    c11 = fetch(y1, x1)
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy

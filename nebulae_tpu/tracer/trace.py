@@ -1,0 +1,225 @@
+"""Ray tracing on XLA: brute-force and stackless BVH traversal.
+
+The TPU-native replacement for DXR's `TraceRay`/`RayQuery`.  Two strategies:
+
+  * **Brute force** -- every ray against every triangle as one big masked
+    reduction.  For small scenes (Cornell box: 36 tris) this is *faster* than
+    any tree because it is pure dense vector math with zero gathers, and it is
+    trivially differentiable.
+  * **Skip-link BVH traversal** -- each ray carries a single node index into
+    the pre-order flattened tree (bvh.builder); per step it gathers one node,
+    does a slab test, intersects up to MAX_LEAF triangles when at a leaf, and
+    advances to `node + 1` or `skip[node]`.  All rays run in lockstep inside
+    one `lax.while_loop`; the loop retires when every lane walked off the tree.
+    No stack, no divergence beyond the shared trip count.
+
+Both return the same hit record so the shading pipeline is tracer-agnostic.
+A Pallas megakernel version of the BVH walk (kernels.pallas_trace) slots in
+behind the same interface for peak throughput.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nebulae_tpu.tracer.intersect import ray_aabb, ray_triangle, safe_inv_dir
+
+MAX_LEAF = 4  # must match bvh.builder.MAX_LEAF
+
+
+# ---------------------------------------------------------------------------
+# Brute force
+# ---------------------------------------------------------------------------
+
+
+def _all_miss(n):
+    return {
+        "t": jnp.full(n, jnp.inf, jnp.float32),
+        "tri": jnp.full(n, -1, jnp.int32),
+        "u": jnp.zeros(n, jnp.float32),
+        "v": jnp.zeros(n, jnp.float32),
+    }
+
+
+def bruteforce_closest_hit(o, d, tri_pos, t_max=jnp.inf):
+    """o, d: [N, 3]; tri_pos: [T, 3, 3]. Returns dict(t, tri, u, v)."""
+    if tri_pos.shape[0] == 0:
+        return _all_miss(o.shape[0])
+    v0 = tri_pos[:, 0]
+    e1 = tri_pos[:, 1] - v0
+    e2 = tri_pos[:, 2] - v0
+    hit, t, u, v = ray_triangle(
+        o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None], t_max=t_max
+    )  # [N, T]
+    arg = jnp.argmin(t, axis=1)
+    rows = jnp.arange(o.shape[0])
+    tmin = t[rows, arg]
+    found = jnp.isfinite(tmin)
+    return {
+        "t": tmin,
+        "tri": jnp.where(found, arg.astype(jnp.int32), -1),
+        "u": u[rows, arg],
+        "v": v[rows, arg],
+    }
+
+
+def bruteforce_any_hit(o, d, tri_pos, t_max=jnp.inf):
+    if tri_pos.shape[0] == 0:
+        return jnp.zeros(o.shape[0], bool)
+    v0 = tri_pos[:, 0]
+    e1 = tri_pos[:, 1] - v0
+    e2 = tri_pos[:, 2] - v0
+    hit, _, _, _ = ray_triangle(
+        o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None], t_max=t_max
+    )
+    return hit.any(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Skip-link BVH traversal (lockstep while_loop)
+# ---------------------------------------------------------------------------
+
+
+def _gather_node(bvh, node):
+    lo = bvh["node_lo"][node]
+    hi = bvh["node_hi"][node]
+    first = bvh["node_first"][node]
+    count = bvh["node_count"][node]
+    skip = bvh["node_skip"][node]
+    return lo, hi, first, count, skip
+
+
+def bvh_closest_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
+    """Stackless closest-hit. o, d: [N, 3]. bvh: FlatBVH.device_arrays().
+
+    Hit records are in the *original* triangle numbering (tri_index applied).
+    """
+    n = o.shape[0]
+    if tri_pos.shape[0] == 0:
+        return _all_miss(n)
+    n_nodes = bvh["node_lo"].shape[0]
+    inv_d = safe_inv_dir(d)
+    v0_all = tri_pos[:, 0]
+    e1_all = tri_pos[:, 1] - tri_pos[:, 0]
+    e2_all = tri_pos[:, 2] - tri_pos[:, 0]
+    tri_index = bvh["tri_index"]
+    t_count = tri_index.shape[0]
+
+    init = (
+        jnp.zeros(n, jnp.int32),  # node cursor
+        jnp.full(n, t_max, jnp.float32),  # best t
+        jnp.full(n, -1, jnp.int32),  # best tri (original ids)
+        jnp.zeros(n, jnp.float32),  # u
+        jnp.zeros(n, jnp.float32),  # v
+    )
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_tri, best_u, best_v = state
+        active = node < n_nodes
+        nclamp = jnp.minimum(node, n_nodes - 1)
+        lo, hi, first, count, skip = _gather_node(bvh, nclamp)
+        box_hit = ray_aabb(o, inv_d, lo, hi, best_t) & active
+        is_leaf = count > 0
+        do_tris = box_hit & is_leaf
+
+        # Masked leaf triangle tests (static unroll over MAX_LEAF)
+        for k in range(MAX_LEAF):
+            in_range = do_tris & (k < count)
+            tid = tri_index[jnp.clip(first + k, 0, t_count - 1)]
+            tid = jnp.where(in_range, tid, 0)
+            h, t, u, v = ray_triangle(o, d, v0_all[tid], e1_all[tid], e2_all[tid], t_max=best_t)
+            take = in_range & h & (t < best_t)
+            best_t = jnp.where(take, t, best_t)
+            best_tri = jnp.where(take, tid, best_tri)
+            best_u = jnp.where(take, u, best_u)
+            best_v = jnp.where(take, v, best_v)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, nclamp + 1, skip)
+        node = jnp.where(active, nxt, node)
+        return node, best_t, best_tri, best_u, best_v
+
+    _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+
+
+def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
+    """Stackless any-hit: lane retires (cursor -> N) on first hit."""
+    n = o.shape[0]
+    if tri_pos.shape[0] == 0:
+        return jnp.zeros(n, bool)
+    n_nodes = bvh["node_lo"].shape[0]
+    inv_d = safe_inv_dir(d)
+    v0_all = tri_pos[:, 0]
+    e1_all = tri_pos[:, 1] - tri_pos[:, 0]
+    e2_all = tri_pos[:, 2] - tri_pos[:, 0]
+    tri_index = bvh["tri_index"]
+    t_count = tri_index.shape[0]
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    init = (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+
+    def cond(state):
+        node, occluded = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, occluded = state
+        active = node < n_nodes
+        nclamp = jnp.minimum(node, n_nodes - 1)
+        lo, hi, first, count, skip = _gather_node(bvh, nclamp)
+        box_hit = ray_aabb(o, inv_d, lo, hi, tmax_arr) & active
+        is_leaf = count > 0
+        do_tris = box_hit & is_leaf
+        found = jnp.zeros(n, bool)
+        for k in range(MAX_LEAF):
+            in_range = do_tris & (k < count)
+            tid = tri_index[jnp.clip(first + k, 0, t_count - 1)]
+            tid = jnp.where(in_range, tid, 0)
+            h, t, _, _ = ray_triangle(o, d, v0_all[tid], e1_all[tid], e2_all[tid], t_max=tmax_arr)
+            found = found | (in_range & h)
+        occluded = occluded | found
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, nclamp + 1, skip)
+        nxt = jnp.where(occluded, n_nodes, nxt)  # retire occluded lanes
+        node = jnp.where(active, nxt, node)
+        return node, occluded
+
+    _, occluded = jax.lax.while_loop(cond, body, init)
+    return occluded
+
+
+# ---------------------------------------------------------------------------
+# Tracer factory: picks a strategy per scene, returns closures with a common
+# signature (closest(o, d, t_max), any_hit(o, d, t_max)).
+# ---------------------------------------------------------------------------
+
+
+def make_tracer(scene: dict, bvh: dict | None, cfg):
+    """Return (closest_fn, any_fn) choosing brute force for tiny scenes.
+
+    ``scene``/``bvh`` are device-array dicts; closures capture them so jitted
+    callers treat them as constants (weights-style operands).
+    """
+    t_count = scene["tri_pos"].shape[0]
+    mode = cfg.tracer
+    if mode == "auto":
+        mode = "bruteforce" if (bvh is None or t_count <= cfg.bruteforce_max_tris) else "bvh"
+    if mode == "bruteforce":
+        closest = partial(bruteforce_closest_hit, tri_pos=scene["tri_pos"])
+        any_hit = partial(bruteforce_any_hit, tri_pos=scene["tri_pos"])
+    elif mode == "bvh":
+        assert bvh is not None, "bvh arrays required for tracer='bvh'"
+        closest = partial(bvh_closest_hit, bvh=bvh, tri_pos=scene["tri_pos"])
+        any_hit = partial(bvh_any_hit, bvh=bvh, tri_pos=scene["tri_pos"])
+    else:
+        raise ValueError(f"unknown tracer mode: {mode}")
+    return closest, any_hit

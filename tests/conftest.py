@@ -1,0 +1,47 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip shardings are validated without TPU hardware via
+--xla_force_host_platform_device_count (SURVEY.md section 4); the benchmark
+(bench.py) is what runs on the real chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+ASSETS = "/root/reference/assets"
+CORNELL = f"{ASSETS}/cornell_box/cornell_box.gltf"
+HELMET = f"{ASSETS}/DamagedHelmet/DamagedHelmet.gltf"
+SPONZA = f"{ASSETS}/sponza/Sponza.gltf"
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from nebulae_tpu.core.scene import load_scene
+
+    return load_scene(CORNELL)
+
+
+@pytest.fixture(scope="session")
+def cornell_camera(cornell_scene):
+    from nebulae_tpu.core.camera import Camera
+
+    lo = cornell_scene.flat.aabb_min
+    hi = cornell_scene.flat.aabb_max
+    center = (lo + hi) * 0.5
+    # Look into the box opening along +Z (cornell faces +z after import)
+    eye = center + np.array([0.0, 0.0, 2.6 * float((hi - lo).max())], np.float32)
+    return Camera(eye=eye, target=center, fov_y_deg=60.0)
+
+
+@pytest.fixture(scope="session")
+def helmet_scene():
+    from nebulae_tpu.core.scene import load_scene
+
+    return load_scene(HELMET, max_texture_dim=512)
