@@ -1,0 +1,95 @@
+"""Benchmark: Mrays/s per chip, forward and forward+backward.
+
+Workload (BASELINE.md): Sponza-class scene at 1920x1080, 1 spp path trace
+with NEE + SVGF + ACES through the full jitted pipeline, then a full
+train step (forward + backward through the differentiable pipeline + adam
+update on material/sun parameters).  The mounted reference snapshot ships
+only Sponza's textures (no geometry binary), so the Sponza-class stand-in is
+a 3x3 DamagedHelmet field + ground plane (~139k textured PBR triangles; see
+nebulae_tpu/utils/testscenes.py).
+
+Ray accounting: primary (W*H) + per sample per bounce one NEE shadow ray +
+one indirect ray (bounces-1 indirect segments), matching what the tracer
+actually casts.  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nebulae_tpu.config import RenderConfig, SunLight
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state, render_frame
+    from nebulae_tpu.engine.train import make_train_step, split_scene_params
+    from nebulae_tpu.passes.gbuffer import make_camera_arrays
+    from nebulae_tpu.utils.testscenes import bench_camera, helmet_field
+
+    width, height, bounces, spp = 1920, 1080, 4, 1
+    cfg = RenderConfig(
+        width=width, height=height, spp=spp, max_bounces=bounces,
+        enable_svgf=True, enable_tonemap=True, tracer="auto",
+    )
+    fs = helmet_field(3, 3, max_texture_dim=512)
+    renderer = Renderer(fs, cfg)
+    cam_obj = bench_camera(fs)
+    cam = make_camera_arrays(cam_obj, width, height)
+
+    n_pix = width * height
+    rays_per_frame = n_pix * (1 + spp * (bounces + (bounces - 1)))
+
+    # --- forward ---
+    out = renderer.render(cam_obj)
+    jax.block_until_ready(out["ldr"])
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = renderer.render(cam_obj)
+    jax.block_until_ready(out["ldr"])
+    fwd_s = (time.perf_counter() - t0) / n_iter
+    fwd_mrays = rays_per_frame / fwd_s / 1e6
+
+    # --- forward + backward (full train step) ---
+    params, frozen = split_scene_params(renderer.scene)
+    params["sun"] = renderer.sun
+    step, optimizer = make_train_step(cfg, frozen, renderer.bvh)
+    opt_state = optimizer.init(params)
+    state = init_frame_state(cfg)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    jstep = jax.jit(step)
+    params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    n_bwd = 3
+    for _ in range(n_bwd):
+        params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
+    jax.block_until_ready(loss)
+    fwdbwd_s = (time.perf_counter() - t0) / n_bwd
+    fwdbwd_mrays = rays_per_frame / fwdbwd_s / 1e6
+
+    result = {
+        "metric": "Mrays/s/chip fwd+bwd, Sponza-class 1080p 1spp 4-bounce path trace + SVGF",
+        "value": round(fwdbwd_mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": 1.0,  # reference publishes no numbers (BASELINE.md); self-baseline
+        "detail": {
+            "fwd_mrays_s": round(fwd_mrays, 2),
+            "fwd_frame_ms": round(fwd_s * 1e3, 1),
+            "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
+            "rays_per_frame": rays_per_frame,
+            "triangles": int(fs.num_triangles),
+            "loss": float(loss),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

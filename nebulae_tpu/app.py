@@ -1,0 +1,117 @@
+"""Application shell: CLI entry point + render loop.
+
+The WinMain/Nebulae analogue (/root/reference/src/WinMain.cpp:274-368,
+Nebulae.cpp:17-112) for a headless TPU: parse `--key=value` style arguments
+(ArgumentParser.h semantics via argparse), load the scene, run the frame loop
+with frametime logging, orbit-camera animation instead of mouse input, frames
+"presented" to an output directory, and periodic NRC/scene checkpoints.
+
+Usage:
+    python -m nebulae_tpu.app --scene /path/to/scene.gltf --frames 64 \
+        --width 1920 --height 1080 --nrc --out /tmp/frames
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("nebulae_tpu", description=__doc__)
+    p.add_argument("--scene", required=True, help="glTF 2.0 scene (.gltf/.glb)")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--nrc", action="store_true", help="enable the neural radiance cache")
+    p.add_argument("--no-svgf", action="store_true")
+    p.add_argument("--no-gi", action="store_true", help="direct lighting only")
+    p.add_argument("--tracer", default="auto", choices=["auto", "bruteforce", "bvh", "pallas"])
+    p.add_argument("--out", default="/tmp/nebulae_frames")
+    p.add_argument("--orbit-speed", type=float, default=0.0, help="deg/frame camera orbit")
+    p.add_argument("--distance-scale", type=float, default=2.2)
+    p.add_argument("--max-texture-dim", type=int, default=1024)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=64)
+    p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
+    p.add_argument("--profile", default=None, help="capture an xprof trace to this dir")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.core.camera import OrbitCamera
+    from nebulae_tpu.core.scene import load_scene
+    from nebulae_tpu.engine.renderer import Renderer
+    from nebulae_tpu.utils.display import FrameWriter
+    from nebulae_tpu.utils.logging import log_info
+    from nebulae_tpu.utils.profiling import FrameTimer, profile_trace
+
+    log_info(f"devices: {jax.devices()}")
+    log_info(f"loading {args.scene}")
+    scene = load_scene(args.scene, max_texture_dim=args.max_texture_dim)
+    fs = scene.flat
+    log_info(f"scene: {fs.num_triangles} tris, {fs.num_materials} materials, "
+             f"{fs.textures.shape[0]} textures")
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        max_bounces=args.bounces,
+        enable_gi=not args.no_gi,
+        enable_svgf=not args.no_svgf,
+        enable_nrc=args.nrc,
+        tracer=args.tracer,
+    )
+    renderer = Renderer(fs, cfg)
+    if args.resume:
+        from nebulae_tpu.utils.checkpoint import load_checkpoint
+
+        renderer.state = load_checkpoint(args.resume, renderer.state)
+        log_info(f"resumed state from {args.resume}")
+
+    lo, hi = fs.aabb_min, fs.aabb_max
+    center = (lo + hi) * 0.5
+    cam = OrbitCamera(
+        distance=args.distance_scale * float(np.max(hi - lo)),
+        pitch_deg=20.0,
+        yaw_deg=45.0,
+        target=center,
+    )
+    writer = FrameWriter(args.out)
+    timer = FrameTimer()
+
+    def loop():
+        for i in range(args.frames):
+            if args.orbit_speed:
+                cam.rotate(args.orbit_speed, 0.0)
+                renderer.reset_history()  # camera moved -> SVGF reset
+            out = renderer.render(cam.camera())
+            writer.present(out["ldr"])
+            timer.tick()
+            if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
+                from nebulae_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(args.checkpoint_dir, renderer.state, step=i + 1)
+
+    if args.profile:
+        with profile_trace(args.profile):
+            loop()
+    else:
+        loop()
+    writer.flush()
+    log_info(f"wrote {args.frames} frames to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

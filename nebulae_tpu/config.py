@@ -55,8 +55,11 @@ class RenderConfig:
     nrc_self_training: bool = True
     nrc_learning_rate: float = 1e-2
     nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
-    # Tracer selection: "auto" | "bruteforce" | "bvh"
+    # Tracer selection: "auto" | "bruteforce" | "bvh" | "pallas"
     tracer: str = "auto"
+    # Sort bounce rays by (octant, origin-morton) before traversal -- restores
+    # packet coherence for diffuse bounces (tracer/sorting.py)
+    sort_rays: bool = True
     # Brute force is faster below this triangle count (whole scene fits VMEM)
     bruteforce_max_tris: int = 4096
 

@@ -87,9 +87,10 @@ def build_orthonormal_basis(n, xp=np):
 
 
 def oct_encode(n, xp=np):
-    """Unit vector -> oct [-1,1]^2."""
+    """Unit vector -> oct [-1,1]^2. Zero vectors map to (0,0), not NaN
+    (dead/masked lanes feed zero normals through here)."""
     denom = xp.abs(n[..., 0]) + xp.abs(n[..., 1]) + xp.abs(n[..., 2])
-    p = n[..., :2] / denom[..., None]
+    p = n[..., :2] / xp.maximum(denom[..., None], 1e-12)
     px, py = p[..., 0], p[..., 1]
     wrap_x = (1.0 - xp.abs(py)) * xp.where(px >= 0.0, 1.0, -1.0)
     wrap_y = (1.0 - xp.abs(px)) * xp.where(py >= 0.0, 1.0, -1.0)

@@ -16,6 +16,7 @@ import numpy as np
 from nebulae_tpu.core import math as nmath
 from nebulae_tpu.core.scene import (
     MAT_HAS_BASECOLOR_TEX,
+    MAT_HAS_EMISSIVE_TEX,
     MAT_HAS_METALROUGH_TEX,
     MAT_HAS_NORMAL_TEX,
 )
@@ -30,9 +31,40 @@ def _xp(a):
     return jnp
 
 
+def _stopgrad(x, xp):
+    if xp is np:
+        return x
+    import jax
+
+    return jax.lax.stop_gradient(x)
+
+
+def fetch_rows(table, idx, xp):
+    """Differentiable small-table fetch: table [M, C] f32, idx [...] int.
+
+    On TPU a plain gather transposes into a serialized scatter-add in the
+    backward pass (~1000x slower than the forward); a one-hot matmul at
+    precision=HIGHEST (f32-exact multi-pass) makes both directions MXU
+    matmuls.  Used for the material factor tables, whose gradients are
+    first-class training targets.  numpy path stays a plain gather."""
+    if xp is np:
+        return table[idx]
+    import jax
+
+    m = table.shape[0]
+    oh = jax.nn.one_hot(idx, m, dtype=table.dtype)
+    return jax.lax.dot_general(
+        oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def interpolate(attr, tri_id, u, v, xp):
-    """Barycentric interpolation of a per-corner attribute [T, 3, C]."""
-    a = attr[tri_id]  # [..., 3, C]
+    """Barycentric interpolation of a per-corner attribute [T, 3, C].
+
+    Geometry attribute tables are not gradient targets: the gather input is
+    stop-gradiented (jax) so no scatter appears in the backward pass."""
+    a = _stopgrad(attr, xp)[tri_id]  # [..., 3, C]
     w = (1.0 - u - v)[..., None]
     return a[..., 0, :] * w + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None]
 
@@ -52,33 +84,40 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
     tan4 = interpolate(scene["tri_tan"], t, u, v, xp)
 
     # Geometric normal from the triangle plane
-    v0 = scene["tri_pos"][t, 0]
-    e1 = scene["tri_pos"][t, 1] - v0
-    e2 = scene["tri_pos"][t, 2] - v0
+    tp = _stopgrad(scene["tri_pos"], xp)
+    v0 = tp[t, 0]
+    e1 = tp[t, 1] - v0
+    e2 = tp[t, 2] - v0
     ng = nmath.normalize(nmath.cross(e1, e2))
     # Orient geometric normal along the shading normal hemisphere
     ng = ng * xp.where(nmath.dot(ng, nrm) < 0.0, -1.0, 1.0)
 
     mat = scene["tri_mat"][t]
     flags = scene["mat_flags"][mat]
-    base = scene["mat_base_color"][mat]
-    rough = scene["mat_roughness"][mat]
-    metal = scene["mat_metallic"][mat]
-    emissive = scene["mat_emissive"][mat]
+    # Material factors: differentiable fetches (one-hot matmul on TPU).
+    base = fetch_rows(scene["mat_base_color"], mat, xp)
+    rough = fetch_rows(scene["mat_roughness"][:, None], mat, xp)[..., 0]
+    metal = fetch_rows(scene["mat_metallic"][:, None], mat, xp)[..., 0]
+    emissive = fetch_rows(scene["mat_emissive"], mat, xp)
 
     albedo = base[..., :3]
     if scene["textures"].shape[0] > 0:
+        textures = _stopgrad(scene["textures"], xp)
         tex_ids = scene["mat_tex_ids"][mat]
-        bc = sample_bilinear(scene["textures"], scene["tex_hw"], tex_ids[..., 0], uv, xp)
+        bc = sample_bilinear(textures, scene["tex_hw"], tex_ids[..., 0], uv, xp)
         has_bc = (flags & MAT_HAS_BASECOLOR_TEX) != 0
         albedo = xp.where(has_bc[..., None], albedo * srgb_to_linear(bc[..., :3]), albedo)
 
-        mr = sample_bilinear(scene["textures"], scene["tex_hw"], tex_ids[..., 1], uv, xp)
+        mr = sample_bilinear(textures, scene["tex_hw"], tex_ids[..., 1], uv, xp)
         has_mr = (flags & MAT_HAS_METALROUGH_TEX) != 0
         rough = xp.where(has_mr, rough * mr[..., 1], rough)  # G channel
         metal = xp.where(has_mr, metal * mr[..., 2], metal)  # B channel
 
-        nm = sample_bilinear(scene["textures"], scene["tex_hw"], tex_ids[..., 2], uv, xp)
+        em = sample_bilinear(textures, scene["tex_hw"], tex_ids[..., 3], uv, xp)
+        has_em = (flags & MAT_HAS_EMISSIVE_TEX) != 0
+        emissive = xp.where(has_em[..., None], emissive * srgb_to_linear(em[..., :3]), emissive)
+
+        nm = sample_bilinear(textures, scene["tex_hw"], tex_ids[..., 2], uv, xp)
         has_nm = (flags & MAT_HAS_NORMAL_TEX) != 0
         tn = nm[..., :3] * 2.0 - 1.0
         tangent = nmath.normalize(

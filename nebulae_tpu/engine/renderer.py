@@ -1,0 +1,186 @@
+"""Frame orchestration: the whole render pipeline as one jitted function.
+
+TPU-native equivalent of Renderer::RenderSceneDeferred's pass DAG
+(/root/reference/src/Renderer.cpp:90-152: BeginFrame -> G-buffer -> PBR ->
+GI path trace -> SVGF -> tonemap).  Where the reference records 7 command
+lists serialized by fences per frame, here the DAG is a single XLA program:
+`render_frame(scene, sun, camera, state, frame)` traced once per (config,
+shape) and replayed every frame; XLA owns scheduling and hazards.
+
+Differentiability: `jax.grad` through `render_frame` (or a loss on its
+output) yields gradients w.r.t. material tables (scene arrays), sun/sky
+parameters, and -- once enabled -- the NRC MLP parameters carried in the
+frame state.  Visibility is detached (see passes.gbuffer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nebulae_tpu.config import RenderConfig, SunLight
+from nebulae_tpu.core import rng as nrng
+from nebulae_tpu.core.camera import Camera
+from nebulae_tpu.core.scene import FlatScene
+from nebulae_tpu.passes.direct import shade_direct
+from nebulae_tpu.passes.gbuffer import camera_rays_jax, make_camera_arrays, render_gbuffer
+from nebulae_tpu.passes.pathtrace import path_trace
+from nebulae_tpu.passes.svgf import init_history, svgf_denoise
+from nebulae_tpu.passes.tonemap import aces_tonemap
+from nebulae_tpu.tracer.trace import make_tracer
+
+
+def init_frame_state(cfg: RenderConfig) -> dict:
+    """Per-frame carried state: SVGF ping-pong history, frame counter, and
+    (when enabled) the NRC cache parameters + optimizer state."""
+    state = {
+        "svgf": init_history(cfg.height, cfg.width),
+        "frame": jnp.uint32(0),
+        "reset_history": jnp.bool_(True),
+    }
+    if cfg.enable_nrc:
+        from nebulae_tpu.nrc.cache import init_cache
+
+        state["nrc"] = init_cache(seed=0)
+    return state
+
+
+def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state: dict, cfg: RenderConfig):
+    """Pure jittable frame function.
+
+    Returns (outputs, new_state); outputs has 'hdr' (pre-denoise), 'denoised',
+    'ldr' [H, W, 3] and the G-buffer channels.
+    """
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    closest_fn, any_fn = make_tracer(scene, bvh, cfg)
+
+    o, d = camera_rays_jax(cam, w, h)
+    gbuf = render_gbuffer(scene, closest_fn, o, d)
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32), indexing="ij")
+    rng_state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, state["frame"])
+
+    new_state = dict(state)
+    acc = jnp.zeros((n_pix, 3), jnp.float32)
+    for _ in range(cfg.spp):
+        if cfg.enable_gi and cfg.enable_nrc:
+            from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_query
+
+            sample, rng_state = path_trace_nrc_query(
+                scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg,
+                state["nrc"]["ema_params"],
+            )
+        elif cfg.enable_gi:
+            sample, rng_state = path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg)
+        else:
+            sample, rng_state = shade_direct(scene, gbuf, sun, any_fn, rng_state)
+        acc = acc + sample
+    radiance = acc / cfg.spp
+
+    if cfg.enable_gi and cfg.enable_nrc:
+        # Online cache training (the QueryAndTrain analogue) fused into the
+        # same jitted frame at reduced resolution.
+        import optax
+
+        from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_train
+
+        optimizer = optax.adam(cfg.nrc_learning_rate)
+        new_cache, nrc_loss = path_trace_nrc_train(
+            scene, sun, closest_fn, any_fn, cfg, state["nrc"], optimizer, cam, state["frame"]
+        )
+        new_state["nrc"] = new_cache
+    else:
+        nrc_loss = jnp.float32(0.0)
+    # Primary misses show the sky.
+    radiance = jnp.where(gbuf["hit"][..., None], radiance, sun.sky_color[None, :])
+
+    img = radiance.reshape(h, w, 3)
+    depth = gbuf["depth"].reshape(h, w)
+    normal = gbuf["normal_s"].reshape(h, w, 3)
+
+    if cfg.enable_svgf:
+        # History reset on demand (camera moved / scene changed,
+        # DeferredRenderer.cpp:133-148): overwrite history with current frame.
+        hist = state["svgf"]
+        reset = state["reset_history"]
+
+        def pick(cur, old):
+            return jnp.where(reset, cur, old)
+
+        from nebulae_tpu.core import math as nmath
+
+        lum = nmath.luminance(img, jnp)
+        hist = {
+            "radiance": pick(img, hist["radiance"]),
+            "depth": pick(depth, hist["depth"]),
+            "normal": pick(normal, hist["normal"]),
+            "moments": pick(jnp.stack([lum, lum * lum], -1), hist["moments"]),
+            "histlen": pick(jnp.zeros_like(hist["histlen"]), hist["histlen"]),
+        }
+        denoised, new_hist = svgf_denoise(
+            img, depth, normal, hist, cfg, hit=gbuf["hit"].reshape(h, w)
+        )
+        new_state["svgf"] = new_hist
+    else:
+        denoised = img
+    new_state["frame"] = state["frame"] + jnp.uint32(1)
+    new_state["reset_history"] = jnp.bool_(False)
+
+    ldr = aces_tonemap(denoised) if cfg.enable_tonemap else denoised
+    outputs = {
+        "hdr": img,
+        "denoised": denoised,
+        "ldr": ldr,
+        "depth": depth,
+        "normal": normal,
+        "albedo": gbuf["albedo"].reshape(h, w, 3),
+        "hit": gbuf["hit"].reshape(h, w),
+        "nrc_loss": nrc_loss,
+    }
+    return outputs, new_state
+
+
+class Renderer:
+    """Host-side convenience wrapper: owns device arrays, jit cache, state.
+
+    The `Nebulae`/`Renderer` singleton analogue (Nebulae.h:22-64) minus the
+    Win32 shell: init with a scene, call `.render(camera)` per frame, read
+    images back.  Presentation (Swapchain analogue) is utils.display.
+    """
+
+    def __init__(self, flat_scene: FlatScene, cfg: RenderConfig, sun: SunLight | None = None, bvh=None):
+        self.cfg = cfg
+        self.scene = {k: jnp.asarray(v) for k, v in flat_scene.device_arrays().items()}
+        t_count = flat_scene.num_triangles
+        needs_bvh = cfg.tracer in ("bvh", "pallas") or (
+            cfg.tracer == "auto" and t_count > cfg.bruteforce_max_tris
+        )
+        if bvh is None and needs_bvh:
+            from nebulae_tpu.bvh import build_bvh_fast
+            from nebulae_tpu.kernels.pallas_trace import pack_bvh_for_pallas
+
+            flat_bvh = build_bvh_fast(flat_scene.tri_pos)
+            bvh = flat_bvh.device_arrays()
+            bvh.update(pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos))
+        self.bvh = (
+            {k: jnp.asarray(v) for k, v in bvh.items()} if isinstance(bvh, dict) and bvh else None
+        )
+        if sun is None:
+            sun = SunLight.default(np)
+        self.sun = jax.tree.map(jnp.asarray, sun)
+        self.state = init_frame_state(cfg)
+        self._jit_frame = jax.jit(partial(render_frame, cfg=cfg))
+
+    def reset_history(self):
+        self.state["reset_history"] = jnp.bool_(True)
+
+    def render(self, camera: Camera, sun: SunLight | None = None):
+        cam = make_camera_arrays(camera, self.cfg.width, self.cfg.height)
+        outputs, self.state = self._jit_frame(
+            self.scene, self.bvh, sun if sun is not None else self.sun, cam, self.state
+        )
+        return outputs

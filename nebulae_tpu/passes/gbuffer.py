@@ -1,0 +1,82 @@
+"""Primary-visibility G-buffer pass (differentiable).
+
+TPU-native replacement for the reference's raster G-buffer
+(assets/shaders/deferred_gbuffers.hlsl + DeferredRenderer's MRT setup,
+DeferredRenderer.cpp:758-772): instead of rasterizing ~100 submeshes we cast
+one primary ray per pixel through the BVH and reconstruct the same four
+targets (albedo, roughness/metalness, world position, geometric+shading
+normals) plus depth and a hit mask.
+
+Differentiability: the *intersection* (which triangle, barycentrics, t) is
+detached -- gradients flow through surface attributes (materials, textures)
+only.  This is the documented "detached visibility" stance (SURVEY.md
+section 7): exactly what material/light/MLP gradients need.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nebulae_tpu.core import math as nmath
+from nebulae_tpu.core.surface import reconstruct_surface
+
+
+def detach(tree):
+    return jax.tree.map(jax.lax.stop_gradient, tree)
+
+
+def make_camera_arrays(camera, width: int, height: int) -> dict:
+    """Host-side: turn a core.camera.Camera into jit-friendly arrays."""
+    right, up, fwd = camera.basis()
+    return {
+        "eye": jnp.asarray(camera.eye, jnp.float32),
+        "right": jnp.asarray(right),
+        "up": jnp.asarray(up),
+        "fwd": jnp.asarray(fwd),
+        "tan_half": jnp.float32(np.tan(np.deg2rad(camera.fov_y_deg) * 0.5)),
+        "aspect": jnp.float32(width / height),
+    }
+
+
+def camera_rays_jax(cam: dict, width: int, height: int, jitter=None):
+    """Primary ray generation inside jit (differentiable w.r.t. camera)."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32), jnp.arange(width, dtype=jnp.float32), indexing="ij"
+    )
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    if jitter is None:
+        jx = jy = 0.5
+    else:
+        jx, jy = jitter[..., 0], jitter[..., 1]
+    u = ((xs + jx) / width * 2.0 - 1.0) * cam["tan_half"] * cam["aspect"]
+    v = (1.0 - (ys + jy) / height * 2.0) * cam["tan_half"]
+    d = u[:, None] * cam["right"][None] + v[:, None] * cam["up"][None] + cam["fwd"][None]
+    d = nmath.normalize(d)
+    o = jnp.broadcast_to(cam["eye"], d.shape)
+    return o, d
+
+
+def render_gbuffer(scene: dict, closest_fn, o, d):
+    """Trace primary rays -> G-buffer dict (flat [N, ...] layout)."""
+    hit = detach(closest_fn(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)))
+    valid = hit["tri"] >= 0
+    surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=jnp)
+    zero3 = jnp.zeros_like(surf["position"])
+    vm = valid[..., None]
+    return {
+        "hit": valid,
+        "depth": jnp.where(valid, hit["t"], jnp.inf),
+        "position": jnp.where(vm, surf["position"], zero3),
+        "normal_g": jnp.where(vm, surf["normal_g"], 0.0),
+        "normal_s": jnp.where(vm, surf["normal_s"], 0.0),
+        "albedo": jnp.where(vm, surf["albedo"], 0.0),
+        "roughness": jnp.where(valid, surf["roughness"], 1.0),
+        "metalness": jnp.where(valid, surf["metalness"], 0.0),
+        "emissive": jnp.where(vm, surf["emissive"], 0.0),
+        "view": -d,
+        "ray_o": o,
+        "ray_d": d,
+    }

@@ -1,0 +1,180 @@
+"""SVGF denoiser: temporal accumulation + a-trous wavelet filtering.
+
+Differentiable JAX re-implementation of the reference's SVGF stack
+(assets/shaders/svgf_temporal.hlsl, svgf_atrous.hlsl, svgf_common.hlsli;
+host orchestration SVGFDenoiser.cpp:66-203):
+
+  * temporal: per-pixel stability weight w = exp(-dz^2 / 2 sigma_z^2) *
+    saturate(n . n_hist); EMA of radiance and the first two luminance moments;
+    variance = max(<Y^2> - <Y>^2, eps).  History lookup is same-pixel (the
+    reference skips SVGF while the camera moves, DeferredRenderer.cpp:595,
+    so no motion-vector reprojection exists to mirror).
+    NOTE deviation: the reference computes alpha' = lerp(1, alpha, w) whose
+    w->0 limit *keeps* history, contradicting its own "1 -> reset" comment;
+    we use alpha' = alpha * w (the sensible variant left commented in the
+    shader) so unstable pixels reset to the current frame.
+  * a-trous: 4 dilated 5x5 passes (step 1,2,4,8) with separable B3-spline
+    weights [1/16, 1/4, 3/8, 1/4, 1/16] and SVGF edge-stops
+    wz = exp(-|dz| / (phi_z * step)), wn = <n0, n>^128,
+    wl = exp(-|dY| / (phi_c * sqrt(var_center))), clamp-to-edge taps.
+
+Everything is pure elementwise/shift arithmetic -- XLA fuses each a-trous
+iteration into one kernel; gradients flow through the full filter (the
+denoiser is part of the differentiable pipeline, per the north star).
+
+Image layout: [H, W, C].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nebulae_tpu.core import math as nmath
+
+B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+
+
+def _finite_depth(depth, far=1e8):
+    return jnp.minimum(depth, far)
+
+
+def svgf_temporal(
+    radiance, depth, normal, hist_radiance, hist_depth, hist_normal, hist_moments, cfg, histlen=None
+):
+    """Temporal accumulation step.
+
+    radiance [H,W,3], depth [H,W], normal [H,W,3]; hist_* same shapes,
+    hist_moments [H,W,2]; histlen [H,W] frames of valid history.
+    Returns (accum_radiance, moments, variance, new_histlen).
+    """
+    dz = _finite_depth(depth) - _finite_depth(hist_depth)
+    w_depth = jnp.exp(-(dz * dz) / (2.0 * cfg.svgf_depth_sigma * cfg.svgf_depth_sigma))
+    w_normal = jnp.clip((normal * hist_normal).sum(-1), 0.0, 1.0)
+    w = w_depth * w_normal
+    alpha = cfg.svgf_temporal_alpha * w  # history weight, 0 when unstable
+
+    accum = radiance + (hist_radiance - radiance) * alpha[..., None]
+    y = nmath.luminance(radiance, jnp)
+    y_acc = y + (hist_moments[..., 0] - y) * alpha
+    y2_acc = y * y + (hist_moments[..., 1] - y * y) * alpha
+    variance = jnp.maximum(y2_acc - y_acc * y_acc, cfg.svgf_variance_eps)
+    if histlen is None:
+        histlen = jnp.zeros(radiance.shape[:2], jnp.float32)
+    new_histlen = jnp.where(w > 0.5, histlen + 1.0, 1.0)
+
+    # Short-history fallback (SVGF paper section 4.2, absent in the reference
+    # shaders): until ~4 frames of history the temporal variance estimate is
+    # meaningless (== eps right after a reset, which disables the a-trous
+    # luminance edge-stop entirely), so estimate variance *spatially* from a
+    # depth/normal-bilateral 7x7 neighborhood of the current moments.
+    mu1 = y
+    mu2 = y * y
+    z0 = _finite_depth(depth)
+    sum_m1 = jnp.zeros_like(mu1)
+    sum_m2 = jnp.zeros_like(mu2)
+    sum_w = jnp.zeros_like(mu1)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            m1 = _shift2d(mu1, dy, dx)
+            m2 = _shift2d(mu2, dy, dx)
+            z = _shift2d(z0, dy, dx)
+            n = _shift2d(normal, dy, dx)
+            wz = jnp.exp(-jnp.abs(z0 - z) / jnp.maximum(cfg.svgf_phi_depth * 3.0, 1e-6))
+            wn = jnp.clip((normal * n).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
+            ww = wz * wn
+            sum_m1 = sum_m1 + m1 * ww
+            sum_m2 = sum_m2 + m2 * ww
+            sum_w = sum_w + ww
+    m1s = sum_m1 / jnp.maximum(sum_w, 1e-6)
+    m2s = sum_m2 / jnp.maximum(sum_w, 1e-6)
+    var_spatial = jnp.maximum(m2s - m1s * m1s, cfg.svgf_variance_eps) * 4.0
+    variance = jnp.where(new_histlen < 4.0, jnp.maximum(variance, var_spatial), variance)
+
+    moments = jnp.stack([y_acc, y2_acc], axis=-1)
+    return accum, moments, variance, new_histlen
+
+
+def _shift2d(img, dy: int, dx: int):
+    """Shift with clamp-to-edge (the reference clamps tap coords)."""
+    h, w = img.shape[0], img.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    return padded[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
+
+
+def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
+    """One dilated 5x5 a-trous iteration. Returns filtered radiance."""
+    lum0 = nmath.luminance(radiance, jnp)
+    var_scale = jnp.maximum(cfg.svgf_phi_color * jnp.sqrt(jnp.maximum(variance, 1e-8)), 1e-6)
+    z0 = _finite_depth(depth)
+    sum_c = jnp.zeros_like(radiance)
+    sum_w = jnp.zeros(radiance.shape[:2], radiance.dtype)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            k = B3[abs(dy)] * B3[abs(dx)]
+            c = _shift2d(radiance, dy * step, dx * step)
+            z = _shift2d(z0, dy * step, dx * step)
+            n = _shift2d(normal, dy * step, dx * step)
+            lum = nmath.luminance(c, jnp)
+            wz = jnp.exp(-jnp.abs(z0 - z) / (cfg.svgf_phi_depth * step))
+            wn = jnp.clip((normal * n).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
+            wl = jnp.exp(-jnp.abs(lum0 - lum) / var_scale)
+            w = k * wz * wn * wl
+            sum_c = sum_c + c * w[..., None]
+            sum_w = sum_w + w
+    return sum_c / jnp.maximum(sum_w, 1e-4)[..., None]
+
+
+def svgf_atrous(radiance, variance, depth, normal, cfg):
+    """Full a-trous cascade: passes with dilation 1, 2, 4, 8, ...
+
+    Variance stays fixed across iterations (matches the reference host loop,
+    SVGFDenoiser.cpp:153-196, which never updates the variance texture)."""
+    out = radiance
+    for i in range(cfg.svgf_atrous_passes):
+        out = svgf_atrous_step(out, variance, depth, normal, 1 << i, cfg)
+    return out
+
+
+def svgf_denoise(radiance, depth, normal, history: dict, cfg, hit=None):
+    """Temporal + spatial; returns (denoised, new_history).
+
+    history: dict(radiance, depth, normal, moments, histlen); init via
+    `init_history`.  `hit` [H, W] bool: miss pixels bypass the filter --
+    their zero normals would otherwise zero the center-tap edge-stop weight
+    (0^phi_normal) and divide the output to black."""
+    accum, moments, variance, histlen = svgf_temporal(
+        radiance,
+        depth,
+        normal,
+        history["radiance"],
+        history["depth"],
+        history["normal"],
+        history["moments"],
+        cfg,
+        histlen=history["histlen"],
+    )
+    out = svgf_atrous(accum, variance, depth, normal, cfg)
+    if hit is not None:
+        out = jnp.where(hit[..., None], out, radiance)
+    new_history = {
+        "radiance": accum,
+        "depth": depth,
+        "normal": normal,
+        "moments": moments,
+        "histlen": histlen,
+    }
+    return out, new_history
+
+
+def init_history(height: int, width: int):
+    """Empty history: zero radiance/moments, infinite-depth mismatch forces a
+    full reset on the first frame (ResetHistory analogue,
+    SVGFDenoiser.cpp:49-64)."""
+    return {
+        "radiance": jnp.zeros((height, width, 3), jnp.float32),
+        "depth": jnp.full((height, width), 1e9, jnp.float32),
+        "normal": jnp.zeros((height, width, 3), jnp.float32),
+        "moments": jnp.zeros((height, width, 2), jnp.float32),
+        "histlen": jnp.zeros((height, width), jnp.float32),
+    }

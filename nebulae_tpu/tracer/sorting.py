@@ -1,0 +1,85 @@
+"""Ray sorting for packet coherence (wavefront compaction, TPU-style).
+
+Packet traversal (kernels.pallas_trace) is fast exactly when the 1024 rays
+of a tile want the same nodes.  Primary and shadow tiles are coherent by
+construction; diffuse bounce rays are not -- profiling shows bounce-2/3
+traversals cost ~10x bounce-0.  The classic wavefront fix is to sort rays by
+(direction octant, quantized origin Morton code) each bounce.
+
+TPU twist: permuting arrays with gathers would cost more than it saves
+(~10 GB/s); instead the rays are carried *through* `jax.lax.sort` as extra
+operands of one multi-key sort (vectorized bitonic network, no gathers), and
+hits are un-sorted the same way using the captured permutation as the key.
+
+Dead lanes (terminated paths) are given key MAX so they cluster into tail
+tiles, and callers additionally eject them to a far-away origin so their
+tiles exit traversal on the root test (see passes.pathtrace).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEAD_ORIGIN = 1.0e14  # far outside any scene AABB: root slab test misses
+
+
+def _morton3(x, y, z):
+    """Interleave 3x 7-bit ints -> 21-bit Morton code (bit-by-bit, vector ops)."""
+    code = jnp.zeros_like(x)
+    for bit in range(7):
+        code = code | (((x >> bit) & 1) << (3 * bit))
+        code = code | (((y >> bit) & 1) << (3 * bit + 1))
+        code = code | (((z >> bit) & 1) << (3 * bit + 2))
+    return code
+
+
+def ray_sort_key(o, d, aabb_min, aabb_max, alive=None):
+    """uint32 sort key: [1 dead][3 dir octant][21 origin morton][7 dir bits]."""
+    ext = jnp.maximum(aabb_max - aabb_min, 1e-6)
+    q = jnp.clip((o - aabb_min) / ext, 0.0, 1.0)
+    qi = (q * 127.0).astype(jnp.int32)
+    morton = _morton3(qi[:, 0], qi[:, 1], qi[:, 2])
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.int32)
+        + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+        + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+    )
+    # secondary direction bits: dominant-axis angle bucket
+    dir_bits = (jnp.clip((d[:, 1] * 0.5 + 0.5), 0.0, 1.0) * 127.0).astype(jnp.int32)
+    key = (octant << 28) | (morton << 7) | dir_bits
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+    return key
+
+
+def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...]):
+    """Run trace_fn on rays sorted by `key`, return hits in original order.
+
+    trace_fn(o, d) -> dict with [N]-shaped float/int arrays named in
+    extra_outputs.  Sorting rides lax.sort operands both ways (no gathers).
+    """
+    n = o.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_s, perm, ox, oy, oz, dx, dy, dz = jax.lax.sort(
+        (key, idx, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]), num_keys=1
+    )
+    os = jnp.stack([ox, oy, oz], axis=-1)
+    ds = jnp.stack([dx, dy, dz], axis=-1)
+    hit = trace_fn(os, ds)
+    outs = [hit[name] for name in extra_outputs]
+    unsorted = jax.lax.sort((perm, *outs), num_keys=1)[1:]
+    return dict(zip(extra_outputs, unsorted))
+
+
+def sorted_closest(closest_fn, o, d, key):
+    out = sorted_trace(closest_fn, o, d, key, ("t", "tri", "u", "v"))
+    return out
+
+
+def sorted_any(any_fn, o, d, key):
+    def fn(os, ds):
+        return {"occ": any_fn(os, ds).astype(jnp.int32)}
+
+    out = sorted_trace(fn, o, d, key, ("occ",))
+    return out["occ"] > 0

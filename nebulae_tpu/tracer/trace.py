@@ -204,15 +204,23 @@ def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
 
 
 def make_tracer(scene: dict, bvh: dict | None, cfg):
-    """Return (closest_fn, any_fn) choosing brute force for tiny scenes.
+    """Return (closest_fn, any_fn) choosing a strategy per scene/backend.
 
-    ``scene``/``bvh`` are device-array dicts; closures capture them so jitted
-    callers treat them as constants (weights-style operands).
+    auto: brute force for tiny scenes (dense vector math beats any tree),
+    the Pallas packet kernel on TPU when packed tables are present, and the
+    XLA skip-link walk otherwise.  ``scene``/``bvh`` are device-array dicts;
+    closures capture them so jitted callers treat them as constants.
     """
     t_count = scene["tri_pos"].shape[0]
+    has_packed = bvh is not None and "nodes" in bvh and "tris" in bvh
     mode = cfg.tracer
     if mode == "auto":
-        mode = "bruteforce" if (bvh is None or t_count <= cfg.bruteforce_max_tris) else "bvh"
+        if bvh is None or t_count <= cfg.bruteforce_max_tris:
+            mode = "bruteforce"
+        elif has_packed and jax.default_backend() == "tpu":
+            mode = "pallas"
+        else:
+            mode = "bvh"
     if mode == "bruteforce":
         closest = partial(bruteforce_closest_hit, tri_pos=scene["tri_pos"])
         any_hit = partial(bruteforce_any_hit, tri_pos=scene["tri_pos"])
@@ -220,6 +228,14 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         assert bvh is not None, "bvh arrays required for tracer='bvh'"
         closest = partial(bvh_closest_hit, bvh=bvh, tri_pos=scene["tri_pos"])
         any_hit = partial(bvh_any_hit, bvh=bvh, tri_pos=scene["tri_pos"])
+    elif mode == "pallas":
+        from nebulae_tpu.kernels.pallas_trace import pallas_any_hit, pallas_closest_hit
+
+        assert has_packed, "packed tables required for tracer='pallas'"
+        packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
+        interpret = jax.default_backend() != "tpu"
+        closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)
+        any_hit = partial(pallas_any_hit, packed=packed, interpret=interpret)
     else:
         raise ValueError(f"unknown tracer mode: {mode}")
     return closest, any_hit

@@ -1,0 +1,100 @@
+"""Neural radiance cache: encodings, MLP, online training convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nebulae_tpu.config import RenderConfig, SunLight
+
+
+def test_encoding_shapes_and_ranges():
+    from nebulae_tpu.nrc.encoding import encode_query, encoded_dim
+
+    n = 256
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    nrm = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = encode_query(
+        pos, nrm, nrm, jnp.full((n,), 0.5), jnp.full((n, 3), 0.6), jnp.full((n, 3), 0.04),
+        jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    assert x.shape == (n, encoded_dim())
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.asarray(x).min() >= -1.0 and np.asarray(x).max() <= 1.5
+
+
+def test_mlp_fits_simple_function():
+    """The cache MLP + adam must fit a smooth radiance field quickly."""
+    import optax
+
+    from nebulae_tpu.nrc.mlp import apply_mlp, init_mlp
+
+    key = jax.random.PRNGKey(0)
+    params = init_mlp(key, 8)
+    x = jax.random.uniform(key, (4096, 8))
+    target = jnp.stack(
+        [jnp.sin(3 * x[:, 0]) + 1.1, x[:, 1] ** 2, 0.5 + 0.3 * x[:, 2]], axis=-1
+    )
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean((apply_mlp(p, x) - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params, opt_state, loss0 = step(params, opt_state)
+    for _ in range(200):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < float(loss0) * 0.1
+    assert float(loss) < 0.01
+
+
+def test_nrc_frame_trains_online(cornell_scene, cornell_camera):
+    """Full frame with NRC: query+train inside jit; loss drops over frames."""
+    from nebulae_tpu.engine.renderer import Renderer
+
+    cfg = RenderConfig(
+        width=64,
+        height=64,
+        spp=1,
+        max_bounces=3,
+        enable_svgf=False,
+        enable_tonemap=False,
+        enable_nrc=True,
+        nrc_max_path_vertices=4,
+    )
+    r = Renderer(cornell_scene.flat, cfg)
+    losses = []
+    for _ in range(12):
+        out = r.render(cornell_camera)
+        losses.append(float(out["nrc_loss"]))
+    img = np.asarray(out["hdr"])
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    # Online training converges: late-loss well below early-loss.
+    early = np.mean(losses[:3])
+    late = np.mean(losses[-3:])
+    assert late < early, f"NRC loss did not decrease: {losses}"
+
+
+def test_nrc_query_radiance_reasonable(cornell_scene, cornell_camera):
+    """After training, NRC indirect estimate stays in the scene's radiance
+    range (no explosions) and adds energy where GI should."""
+    from nebulae_tpu.engine.renderer import Renderer
+
+    cfg_nrc = RenderConfig(
+        width=48, height=48, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        enable_nrc=True, nrc_max_path_vertices=4, nrc_terminate_threshold=0.0,
+    )
+    r = Renderer(cornell_scene.flat, cfg_nrc)
+    for _ in range(10):
+        out = r.render(cornell_camera)
+    img = np.asarray(out["hdr"])
+    assert np.isfinite(img).all()
+    assert img.max() < 100.0
