@@ -45,13 +45,16 @@ def main() -> None:
     rays_per_frame = n_pix * (1 + spp * (bounces + (bounces - 1)))
 
     # --- forward ---
+    # NOTE: timings force a device->host scalar each frame (float(mean));
+    # on the tunneled platform block_until_ready alone has been observed to
+    # return before device completion, yielding impossible numbers.
     out = renderer.render(cam_obj)
-    jax.block_until_ready(out["ldr"])
+    float(out["ldr"].mean())
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = renderer.render(cam_obj)
-    jax.block_until_ready(out["ldr"])
+        float(out["ldr"].mean())
     fwd_s = (time.perf_counter() - t0) / n_iter
     fwd_mrays = rays_per_frame / fwd_s / 1e6
 
@@ -64,12 +67,12 @@ def main() -> None:
     target = jnp.zeros((height, width, 3), jnp.float32)
     jstep = jax.jit(step)
     params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     n_bwd = 3
     for _ in range(n_bwd):
         params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
-    jax.block_until_ready(loss)
+        float(loss)
     fwdbwd_s = (time.perf_counter() - t0) / n_bwd
     fwdbwd_mrays = rays_per_frame / fwdbwd_s / 1e6
 

@@ -30,6 +30,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--nrc", action="store_true", help="enable the neural radiance cache")
     p.add_argument("--no-svgf", action="store_true")
     p.add_argument("--no-gi", action="store_true", help="direct lighting only")
+    p.add_argument(
+        "--envmap", default=None,
+        help="lat-long environment map image for IBL sky, or 'procedural'",
+    )
     p.add_argument("--tracer", default="auto", choices=["auto", "bruteforce", "bvh", "pallas"])
     p.add_argument("--out", default="/tmp/nebulae_frames")
     p.add_argument("--orbit-speed", type=float, default=0.0, help="deg/frame camera orbit")
@@ -70,9 +74,28 @@ def main(argv=None) -> int:
         enable_gi=not args.no_gi,
         enable_svgf=not args.no_svgf,
         enable_nrc=args.nrc,
+        enable_envmap=args.envmap is not None,
         tracer=args.tracer,
     )
     renderer = Renderer(fs, cfg)
+    if args.envmap:
+        import jax.numpy as jnp
+
+        if args.envmap == "procedural":
+            th = np.linspace(0, np.pi, 64, dtype=np.float32)[:, None]
+            up = np.clip(np.cos(th), 0, 1)
+            env = np.zeros((64, 128, 3), np.float32)
+            env[..., 0] = 0.9 - 0.55 * up
+            env[..., 1] = 0.55 + 0.05 * up
+            env[..., 2] = 0.35 + 0.55 * up
+        else:
+            from PIL import Image
+
+            from nebulae_tpu.core.texture import srgb_to_linear
+
+            img = np.asarray(Image.open(args.envmap).convert("RGB"), np.float32) / 255.0
+            env = srgb_to_linear(img).astype(np.float32)
+        renderer.scene["env_map"] = jnp.asarray(env)
     if args.resume:
         from nebulae_tpu.utils.checkpoint import load_checkpoint
 
@@ -94,7 +117,8 @@ def main(argv=None) -> int:
         for i in range(args.frames):
             if args.orbit_speed:
                 cam.rotate(args.orbit_speed, 0.0)
-                renderer.reset_history()  # camera moved -> SVGF reset
+                # (history handling is automatic: reprojection warps it, or
+                # the renderer resets it when reprojection is off)
             out = renderer.render(cam.camera())
             writer.present(out["ldr"])
             timer.tick()

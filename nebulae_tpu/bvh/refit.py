@@ -1,0 +1,88 @@
+"""BVH refit: update node AABBs bottom-up for moved geometry.
+
+TPU-native analogue of the reference's TLAS update path
+(/root/reference/src/nri/raytracing/RTAccelerationStructureBuilder.cpp:99-131:
+ALLOW_UPDATE + PERFORM_UPDATE refit, static topology).  Topology (tree
+structure, skip links, triangle permutation) is immutable; only bounds move.
+
+Device-side and jittable: leaves recompute from the (possibly animated)
+world triangles, then inner nodes update level-by-level from the deepest
+level up -- `levels` is a static host-side grouping of node indices by depth
+(compute_levels), so the whole refit is ~tree-depth vectorized gather/scatter
+rounds instead of a sequential walk.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from nebulae_tpu.bvh.builder import FlatBVH
+
+
+def compute_levels(bvh: FlatBVH) -> list[np.ndarray]:
+    """Host-side: node indices grouped by depth (root = level 0)."""
+    n = bvh.num_nodes
+    depth = np.zeros(n, np.int32)
+    # Pre-order guarantees parents precede children.
+    for i in range(n):
+        if bvh.node_count[i] == 0:  # inner
+            left, right = bvh.node_first[i], bvh.node_right[i]
+            depth[left] = depth[i] + 1
+            depth[right] = depth[i] + 1
+    levels = []
+    for d in range(int(depth.max(initial=0)) + 1):
+        levels.append(np.nonzero(depth == d)[0].astype(np.int32))
+    return levels
+
+
+def refit_bvh(bvh_dev: dict, tri_pos, levels: list[np.ndarray], max_leaf: int = 4):
+    """Recompute node_lo/node_hi for new world triangles [T, 3, 3].
+
+    bvh_dev: FlatBVH.device_arrays() (jnp). Returns (node_lo, node_hi)."""
+    node_first = bvh_dev["node_first"]
+    node_count = bvh_dev["node_count"]
+    node_right = bvh_dev["node_right"]
+    tri_index = bvh_dev["tri_index"]
+    n = node_first.shape[0]
+    t = tri_pos.shape[0]
+
+    tlo = tri_pos.min(axis=1)
+    thi = tri_pos.max(axis=1)
+
+    # Leaf bounds: up to max_leaf triangles per leaf, masked union.
+    is_leaf = node_count > 0
+    lo = jnp.full((n, 3), jnp.inf, jnp.float32)
+    hi = jnp.full((n, 3), -jnp.inf, jnp.float32)
+    for k in range(max_leaf):
+        valid = is_leaf & (k < node_count)
+        tid = tri_index[jnp.clip(node_first + k, 0, max(t - 1, 0))]
+        lo = jnp.where(valid[:, None], jnp.minimum(lo, tlo[tid]), lo)
+        hi = jnp.where(valid[:, None], jnp.maximum(hi, thi[tid]), hi)
+
+    # Inner bounds, deepest level first (children are already final).
+    for level in reversed(levels):
+        idx = jnp.asarray(level)
+        inner = node_count[idx] == 0
+        left = jnp.clip(node_first[idx], 0, n - 1)
+        right = jnp.clip(node_right[idx], 0, n - 1)
+        new_lo = jnp.minimum(lo[left], lo[right])
+        new_hi = jnp.maximum(hi[left], hi[right])
+        lo = lo.at[idx].set(jnp.where(inner[:, None], new_lo, lo[idx]))
+        hi = hi.at[idx].set(jnp.where(inner[:, None], new_hi, hi[idx]))
+    return lo, hi
+
+
+def repack_pallas_bounds(packed_nodes, node_lo, node_hi):
+    """Write refitted bounds into the lane-packed Pallas node table
+    [Nb, 8, 128] (kernels.pallas_trace layout), keeping metadata rows."""
+    nb = packed_nodes.shape[0]
+    lanes = packed_nodes.shape[2]
+    n = node_lo.shape[0]
+    flat = jnp.transpose(packed_nodes, (0, 2, 1)).reshape(nb * lanes, 8)
+    pad = nb * lanes - n
+    bounds = jnp.concatenate([node_lo, node_hi], axis=1)
+    if pad:
+        bounds = jnp.concatenate([bounds, jnp.zeros((pad, 6), jnp.float32)])
+    flat = flat.at[:, 0:6].set(bounds)
+    return jnp.transpose(flat.reshape(nb, lanes, 8), (0, 2, 1))

@@ -40,6 +40,9 @@ class RenderConfig:
     enable_svgf: bool = True
     enable_nrc: bool = False
     enable_tonemap: bool = True
+    # Lat-long environment-map sky (IBL) instead of the constant sky color;
+    # requires scene["env_map"] [H, W, 3] f32
+    enable_envmap: bool = False
     jitter_primary: bool = False
     # SVGF (constants from SVGFDenoiser.h:76-92)
     svgf_temporal_alpha: float = 0.9
@@ -49,6 +52,9 @@ class RenderConfig:
     svgf_phi_normal: float = 128.0
     svgf_phi_depth: float = 0.002
     svgf_atrous_passes: int = 4
+    # Motion-vector temporal reprojection (beyond the reference, which skips
+    # SVGF entirely while the camera moves)
+    svgf_reproject: bool = True
     # NRC
     nrc_max_path_vertices: int = 8
     nrc_train_fraction: float = 0.25  # training rays as fraction of pixels per dim

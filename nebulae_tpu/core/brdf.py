@@ -148,3 +148,42 @@ def sky_radiance(d, sky_color, xp=None):
     """Constant sky color (reference: UI-set constant sky)."""
     xp = xp or _xp(d)
     return xp.broadcast_to(xp.asarray(sky_color, xp.float32), d.shape[:-1] + (3,))
+
+
+def sky_envmap(d, env_map, xp=None):
+    """Lat-long environment map lookup (IBL sky): d [..., 3] unit ->
+    bilinear sample of env_map [H, W, 3] (phi -> u, theta -> v).
+
+    Beyond the reference's constant sky -- gives the DamagedHelmet config its
+    image-based lighting. Differentiable w.r.t. the map (it is a gather, so
+    keep maps small or stop-grad them when not training the environment)."""
+    xp = xp or _xp(d)
+    h, w = env_map.shape[0], env_map.shape[1]
+    phi = xp.arctan2(d[..., 2], d[..., 0])  # [-pi, pi]
+    theta = xp.arccos(xp.clip(d[..., 1], -1.0, 1.0))  # [0, pi], 0 = up
+    u = (phi / (2.0 * PI) + 0.5) * w - 0.5
+    v = theta / PI * h - 0.5
+    x0 = xp.floor(u)
+    y0 = xp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    x0i = xp.asarray(x0, xp.int32) % w
+    x1i = (x0i + 1) % w
+    y0i = xp.clip(xp.asarray(y0, xp.int32), 0, h - 1)
+    y1i = xp.clip(y0i + 1, 0, h - 1)
+    c00 = env_map[y0i, x0i]
+    c01 = env_map[y0i, x1i]
+    c10 = env_map[y1i, x0i]
+    c11 = env_map[y1i, x1i]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sky_eval(d, sun, scene, cfg, xp=None):
+    """Sky radiance along miss direction d: env map when enabled, else the
+    constant sky color."""
+    xp = xp or _xp(d)
+    if getattr(cfg, "enable_envmap", False) and "env_map" in scene:
+        return sky_envmap(d, scene["env_map"], xp)
+    return sky_radiance(d, sun.sky_color, xp)

@@ -41,11 +41,13 @@ def shard_pixels(mesh: Mesh, ndim: int, axis: int = 0, axis_name: str = "rays") 
 
 
 def shard_frame_state(mesh: Mesh, state: dict) -> dict:
-    """Sharding pytree for the frame state: image-space history shards over
-    rows, scalars replicate."""
+    """Sharding pytree for the frame state: image-space history (rows
+    divisible by the mesh) shards over rows; small matrices (camera
+    view-proj), vectors, scalars, and NRC parameters replicate."""
+    n = mesh.devices.size
 
     def spec_for(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.shape[0] % n == 0 and leaf.shape[0] >= n:
             return shard_pixels(mesh, leaf.ndim, axis=0)
         return replicated(mesh)
 

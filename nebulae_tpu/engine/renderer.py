@@ -96,17 +96,33 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     else:
         nrc_loss = jnp.float32(0.0)
     # Primary misses show the sky.
-    radiance = jnp.where(gbuf["hit"][..., None], radiance, sun.sky_color[None, :])
+    from nebulae_tpu.core import brdf as _brdf
+
+    sky = _brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, jnp)
+    radiance = jnp.where(gbuf["hit"][..., None], radiance, sky)
 
     img = radiance.reshape(h, w, 3)
     depth = gbuf["depth"].reshape(h, w)
     normal = gbuf["normal_s"].reshape(h, w, 3)
 
     if cfg.enable_svgf:
-        # History reset on demand (camera moved / scene changed,
-        # DeferredRenderer.cpp:133-148): overwrite history with current frame.
         hist = state["svgf"]
         reset = state["reset_history"]
+
+        if cfg.svgf_reproject:
+            # Motion-vector temporal reprojection: warp history through the
+            # previous frame's view-projection (passes.svgf.reproject_history).
+            from nebulae_tpu.passes.svgf import reproject_history
+
+            position_img = gbuf["position"].reshape(h, w, 3)
+            warped, valid = reproject_history(
+                hist, position_img, hist["prev_viewproj"], w, h,
+                prev_eye=hist["prev_eye"], current_depth=depth,
+            )
+            # Invalid (off-screen/behind-camera) lookups: poison the depth so
+            # the temporal stability weight goes to zero -> history reset.
+            warped["depth"] = jnp.where(valid, warped["depth"], -1e9)
+            hist = warped
 
         def pick(cur, old):
             return jnp.where(reset, cur, old)
@@ -124,6 +140,8 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         denoised, new_hist = svgf_denoise(
             img, depth, normal, hist, cfg, hit=gbuf["hit"].reshape(h, w)
         )
+        new_hist["prev_viewproj"] = cam["viewproj"]
+        new_hist["prev_eye"] = cam["eye"]
         new_state["svgf"] = new_hist
     else:
         denoised = img
@@ -179,6 +197,18 @@ class Renderer:
         self.state["reset_history"] = jnp.bool_(True)
 
     def render(self, camera: Camera, sun: SunLight | None = None):
+        # Camera-motion detection, mirroring the reference's BeginFrame check
+        # (DeferredRenderer.cpp:133-148).  With temporal reprojection enabled
+        # the history survives motion (warped); without it, motion resets.
+        fingerprint = (
+            tuple(np.asarray(camera.eye, np.float32).tolist())
+            + tuple(np.asarray(camera.target, np.float32).tolist())
+            + (float(camera.fov_y_deg),)
+        )
+        moved = getattr(self, "_last_cam", None) is not None and fingerprint != self._last_cam
+        if moved and not self.cfg.svgf_reproject:
+            self.reset_history()
+        self._last_cam = fingerprint
         cam = make_camera_arrays(camera, self.cfg.width, self.cfg.height)
         outputs, self.state = self._jit_frame(
             self.scene, self.bvh, sun if sun is not None else self.sun, cam, self.state

@@ -30,6 +30,8 @@ def detach(tree):
 def make_camera_arrays(camera, width: int, height: int) -> dict:
     """Host-side: turn a core.camera.Camera into jit-friendly arrays."""
     right, up, fwd = camera.basis()
+    view = camera.view_matrix()
+    proj = camera.proj_matrix(width, height)
     return {
         "eye": jnp.asarray(camera.eye, jnp.float32),
         "right": jnp.asarray(right),
@@ -37,6 +39,8 @@ def make_camera_arrays(camera, width: int, height: int) -> dict:
         "fwd": jnp.asarray(fwd),
         "tan_half": jnp.float32(np.tan(np.deg2rad(camera.fov_y_deg) * 0.5)),
         "aspect": jnp.float32(width / height),
+        # view-projection for temporal reprojection (math convention)
+        "viewproj": jnp.asarray(proj @ view, jnp.float32),
     }
 
 

@@ -8,6 +8,9 @@ Both are plain JAX over the packet tracer; the cache MLP trains in-graph
 (nrc.cache.train_cache_step) inside the same jitted frame, replacing the
 CUDA-side QueryAndTrain black box (NvRtxgiNRC.cpp:145-148).
 
+Bounce loops are `lax.scan`s (uniform bodies, one-bounce-sized XLA graphs);
+per-vertex training records ride the scan's stacked outputs.
+
 RNG: the query pass follows the standard draw-order contract; the training
 pass uses an independent seed offset (frame ^ 0x9E3779B9).
 """
@@ -23,41 +26,36 @@ from nebulae_tpu.core import rng as nrng
 from nebulae_tpu.core.surface import reconstruct_surface
 from nebulae_tpu.nrc.cache import primary_spread, query_cache, spread_term, train_cache_step
 from nebulae_tpu.passes.gbuffer import detach
-from nebulae_tpu.tracer.sorting import DEAD_ORIGIN, ray_sort_key, sorted_any, sorted_closest
+from nebulae_tpu.passes.pathtrace import SURF_KEYS, _nee_direct
+from nebulae_tpu.tracer.sorting import DEAD_ORIGIN, ray_sort_key, sorted_closest
 
 PI = 3.14159265358979
 
 
-def _trace_bounce(scene, closest_fn, origin, direction, alive, cfg, sort):
+def _trace_bounce(scene, closest_fn, origin, direction, alive, cfg):
     origin_b = jax.lax.stop_gradient(jnp.where(alive[..., None], origin, DEAD_ORIGIN))
     d_b = jax.lax.stop_gradient(direction)
-    if sort:
+    if cfg.sort_rays:
         key = ray_sort_key(origin_b, d_b, scene["aabb_min"], scene["aabb_max"], alive)
         return detach(sorted_closest(closest_fn, origin_b, d_b, key))
     return detach(closest_fn(origin_b, d_b))
 
 
-def _nee(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
-    """Sun NEE at a vertex (2 draws). Returns (direct_radiance, rng)."""
+def _indirect_step(scene, surf, alive, rng_state, closest_fn, cfg):
+    """Cosine bounce (2 draws) + trace. Returns (rng, new_surf, new_view,
+    found, weight, hit_t, cos_at_new, new_d)."""
     rng_state, u1 = nrng.next_float(rng_state)
     rng_state, u2 = nrng.next_float(rng_state)
-    l = brdf.sun_disk_sample(u1, u2, sun.direction[None, :], sun.tan_half_angle, jnp)
-    n_dot_l = jnp.clip(nmath.dot(surf["normal_s"], l)[..., 0], 0.0, 1.0)
-    f = brdf.eval_brdf(
-        surf["normal_s"], view, l, surf["albedo"], surf["roughness"], surf["metalness"], jnp
-    )
+    new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], jnp)
+    weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
     origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
-    shoot = alive & (n_dot_l > 0.0)
-    origin_sh = jax.lax.stop_gradient(jnp.where(shoot[..., None], origin, DEAD_ORIGIN))
-    l_sh = jax.lax.stop_gradient(l)
-    if sort:
-        key = ray_sort_key(origin_sh, l_sh, scene["aabb_min"], scene["aabb_max"], shoot)
-        occ = sorted_any(any_fn, origin_sh, l_sh, key)
-    else:
-        occ = any_fn(origin_sh, l_sh)
-    vis = jnp.where(shoot & ~occ, 1.0, 0.0)
-    direct = f * (n_dot_l * vis)[..., None] * sun.radiance[None, :]
-    return jnp.where(alive[..., None], direct + surf["emissive"], 0.0), rng_state
+    hit = _trace_bounce(scene, closest_fn, origin, new_d, alive, cfg)
+    found = hit["tri"] >= 0
+    surf_full = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
+    new_surf = {k: surf_full[k] for k in SURF_KEYS}
+    new_view = -new_d
+    cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], new_view)[..., 0], 1e-3, 1.0)
+    return rng_state, new_surf, new_view, found, weight, hit["t"], cos_new, new_d
 
 
 def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, cache_params):
@@ -65,61 +63,71 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
 
     Returns (radiance, rng_state)."""
     n_pix = gbuf["ray_d"].shape[0]
-    acc = jnp.zeros((n_pix, 3), jnp.float32)
-    throughput = jnp.ones((n_pix, 3), jnp.float32)
-    alive = gbuf["hit"]
-    surf = {k: gbuf[k] for k in ("position", "normal_g", "normal_s", "albedo", "roughness", "metalness", "emissive")}
-    view = gbuf["view"]
+    surf0 = {k: gbuf[k] for k in SURF_KEYS}
+    acc0 = jnp.where(gbuf["hit"][..., None], surf0["emissive"], 0.0)
 
     # Spread tracking (Nrc.hlsli:200-203): primary spread from the G-buffer.
-    cos0 = jnp.clip(nmath.dot(surf["normal_s"], view)[..., 0], 1e-3, 1.0)
+    cos0 = jnp.clip(nmath.dot(surf0["normal_s"], gbuf["view"])[..., 0], 1e-3, 1.0)
     spread0 = primary_spread(gbuf["depth"], cos0)
     spread0 = jnp.where(jnp.isfinite(spread0), spread0, 0.0)
-    spread = jnp.zeros(n_pix, jnp.float32)
 
-    # Cache-query record (set once, at the terminating vertex).
-    q_set = jnp.zeros(n_pix, bool)
-    q_surf = {k: jnp.zeros_like(v) for k, v in surf.items()}
-    q_view = jnp.zeros_like(view)
-    q_thr = jnp.zeros_like(throughput)
+    q0 = {
+        "set": jnp.zeros(n_pix, bool),
+        "surf": {k: jnp.zeros_like(v) for k, v in surf0.items()},
+        "view": jnp.zeros_like(gbuf["view"]),
+        "thr": jnp.zeros((n_pix, 3), jnp.float32),
+    }
 
-    for bounce in range(cfg.max_bounces):
-        direct, rng_state = _nee(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays and bounce > 0)
-        acc = acc + throughput * direct
+    def body(carry, _):
+        rng_state, throughput, alive, acc, surf, view, spread, q = carry
+        direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+        acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
-        if bounce == cfg.max_bounces - 1:
-            break
-
-        rng_state, u1 = nrng.next_float(rng_state)
-        rng_state, u2 = nrng.next_float(rng_state)
-        new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], jnp)
-        weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
+        rng_state, new_surf, new_view, found, weight, hit_t, cos_new, new_d = _indirect_step(
+            scene, surf, alive, rng_state, closest_fn, cfg
+        )
         throughput = throughput * weight
-        origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
-
-        hit = _trace_bounce(scene, closest_fn, origin, new_d, alive, cfg, cfg.sort_rays)
-        found = hit["tri"] >= 0
-        acc = acc + jnp.where((alive & ~found)[..., None], throughput * sun.sky_color[None, :], 0.0)
+        sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
+        acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
-        surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
-        view = -new_d
+        surf, view = new_surf, new_view
 
         # Spread accumulation at the new vertex; pdf = cos/pi (cosine sampling).
-        cos_g = jnp.clip(nmath.dot(surf["normal_s"], view)[..., 0], 1e-3, 1.0)
-        pdf = cos_g / PI
-        spread = spread + spread_term(hit["t"], cos_g, pdf)
-        terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q_set
-        # Record the cache query at the terminating vertex.
-        for k in q_surf:
-            q_surf[k] = jnp.where(terminate[..., None] if q_surf[k].ndim == 2 else terminate, surf[k], q_surf[k])
-        q_view = jnp.where(terminate[..., None], view, q_view)
-        q_thr = jnp.where(terminate[..., None], throughput, q_thr)
-        q_set = q_set | terminate
+        pdf = cos_new / PI
+        spread = spread + spread_term(hit_t, cos_new, pdf)
+        terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q["set"]
+        q_surf = {
+            k: jnp.where(terminate[..., None] if v.ndim == 2 else terminate, surf[k], v)
+            for k, v in q["surf"].items()
+        }
+        q = {
+            "set": q["set"] | terminate,
+            "surf": q_surf,
+            "view": jnp.where(terminate[..., None], view, q["view"]),
+            "thr": jnp.where(terminate[..., None], throughput, q["thr"]),
+        }
         alive = alive & ~terminate
+        return (rng_state, throughput, alive, acc, surf, view, spread, q), None
+
+    carry = (
+        rng_state,
+        jnp.ones((n_pix, 3), jnp.float32),
+        gbuf["hit"],
+        acc0,
+        surf0,
+        gbuf["view"],
+        jnp.zeros(n_pix, jnp.float32),
+        q0,
+    )
+    if cfg.max_bounces > 1:
+        carry, _ = jax.lax.scan(body, carry, None, length=cfg.max_bounces - 1)
+    rng_state, throughput, alive, acc, surf, view, spread, q = carry
+    direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+    acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
     # Resolve: query radiance x prefix throughput (radiance_resolve.hlsl:24-32).
-    pred = query_cache(cache_params, q_surf, q_view, scene["aabb_min"], scene["aabb_max"])
-    acc = acc + jnp.where(q_set[..., None], q_thr * pred, 0.0)
+    pred = query_cache(cache_params, q["surf"], q["view"], scene["aabb_min"], scene["aabb_max"])
+    acc = acc + jnp.where(q["set"][..., None], q["thr"] * pred, 0.0)
     return acc, rng_state
 
 
@@ -142,76 +150,85 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     gbuf = render_gbuffer(scene, closest_fn, o, d)
 
     k_verts = cfg.nrc_max_path_vertices
-    throughput = jnp.ones((n_pix, 3), jnp.float32)
-    alive = gbuf["hit"]
-    surf = {k: gbuf[k] for k in ("position", "normal_g", "normal_s", "albedo", "roughness", "metalness", "emissive")}
-    view = gbuf["view"]
+    surf0 = {k: gbuf[k] for k in SURF_KEYS}
 
-    verts = []  # per-vertex records
-    weights_after = []  # segment throughput multiplier applied after vertex k
+    def vertex_record(surf, view, local, alive):
+        return {
+            "position": surf["position"],
+            "normal": surf["normal_s"],
+            "view": view,
+            "roughness": surf["roughness"],
+            "albedo": surf["albedo"],
+            "metalness": surf["metalness"],
+            "local": local,
+            "alive": alive.astype(jnp.float32),
+        }
 
-    for bounce in range(k_verts):
-        direct, rng_state = _nee(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays and bounce > 0)
-        verts.append(
-            {
-                "position": surf["position"],
-                "normal": surf["normal_s"],
-                "view": view,
-                "roughness": surf["roughness"],
-                "albedo": surf["albedo"],
-                "metalness": surf["metalness"],
-                "local": direct,  # emitted + direct-reflected at this vertex
-                "alive": alive,
-            }
+    def body(carry, _):
+        rng_state, alive, surf, view = carry
+        direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+        local = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
+        rec_surf, rec_view, rec_alive = surf, view, alive
+
+        rng_state, new_surf, new_view, found, weight, _, _, new_d = _indirect_step(
+            scene, surf, alive, rng_state, closest_fn, cfg
         )
-        if bounce == k_verts - 1:
-            weights_after.append(jnp.zeros((n_pix, 3), jnp.float32))
-            break
-        rng_state, u1 = nrng.next_float(rng_state)
-        rng_state, u2 = nrng.next_float(rng_state)
-        new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], jnp)
-        weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
-        origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
-        hit = _trace_bounce(scene, closest_fn, origin, new_d, alive, cfg, cfg.sort_rays)
-        found = hit["tri"] >= 0
-        # Sky closes the path: fold into the segment target via a virtual
-        # "local" at the next vertex; simplest is to add sky to this vertex's
-        # outgoing estimate through the weight chain below.
-        sky_term = jnp.where((alive & ~found)[..., None], weight * sun.sky_color[None, :], 0.0)
-        verts[-1]["local"] = verts[-1]["local"] + sky_term
-        weights_after.append(jnp.where((alive & found)[..., None], weight, 0.0))
+        # Sky closes the path: fold into this vertex's local target.
+        sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
+        local = local + jnp.where((alive & ~found)[..., None], weight * sky, 0.0)
+        w_after = jnp.where((alive & found)[..., None], weight, 0.0)
         alive = alive & found
-        surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
-        view = -new_d
+        rec = vertex_record(rec_surf, rec_view, local, rec_alive)
+        rec["w_after"] = w_after
+        return (rng_state, alive, new_surf, new_view), rec
 
-    # Self-training tail: cache query at the last vertex (Nrc.hlsli:529-551).
+    carry = (rng_state, gbuf["hit"], surf0, gbuf["view"])
+    if k_verts > 1:
+        carry, recs = jax.lax.scan(body, carry, None, length=k_verts - 1)
+    else:
+        recs = None
+    rng_state, alive, surf, view = carry
+
+    # Final vertex: NEE only; its suffix is the self-training tail query.
+    direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+    local_last = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
     if cfg.nrc_self_training:
         tail_pred = query_cache(
-            jax.lax.stop_gradient(cache_state["ema_params"]),
-            surf,
-            view,
-            scene["aabb_min"],
-            scene["aabb_max"],
+            jax.lax.stop_gradient(cache_state["ema_params"]), surf, view,
+            scene["aabb_min"], scene["aabb_max"],
         )
-        tail = jnp.where(alive[..., None], tail_pred, 0.0)
+        target_last = local_last + jnp.where(alive[..., None], tail_pred, 0.0)
     else:
-        tail = jnp.zeros((n_pix, 3), jnp.float32)
+        target_last = local_last
+    last_rec = vertex_record(surf, view, local_last, alive)
 
     # Backward-accumulate per-vertex targets: L_k = local_k + w_k * L_{k+1}.
-    target = tail
-    targets = [None] * len(verts)
-    for k in reversed(range(len(verts))):
-        target = verts[k]["local"] + weights_after[k] * target
-        targets[k] = target
+    if recs is not None:
+        def back(carry, rec):
+            target_next = carry
+            target_k = rec["local"] + rec["w_after"] * target_next
+            return target_k, target_k
 
-    records = {
-        "position": jnp.concatenate([v["position"] for v in verts]),
-        "normal": jnp.concatenate([v["normal"] for v in verts]),
-        "view": jnp.concatenate([v["view"] for v in verts]),
-        "roughness": jnp.concatenate([v["roughness"] for v in verts]),
-        "albedo": jnp.concatenate([v["albedo"] for v in verts]),
-        "metalness": jnp.concatenate([v["metalness"] for v in verts]),
-        "target": jnp.concatenate(targets),
-        "weight": jnp.concatenate([v["alive"].astype(jnp.float32) for v in verts]),
-    }
+        _, targets = jax.lax.scan(back, target_last, recs, reverse=True)
+        records = {
+            "position": jnp.concatenate([recs["position"].reshape(-1, 3), last_rec["position"]]),
+            "normal": jnp.concatenate([recs["normal"].reshape(-1, 3), last_rec["normal"]]),
+            "view": jnp.concatenate([recs["view"].reshape(-1, 3), last_rec["view"]]),
+            "roughness": jnp.concatenate([recs["roughness"].reshape(-1), last_rec["roughness"]]),
+            "albedo": jnp.concatenate([recs["albedo"].reshape(-1, 3), last_rec["albedo"]]),
+            "metalness": jnp.concatenate([recs["metalness"].reshape(-1), last_rec["metalness"]]),
+            "target": jnp.concatenate([targets.reshape(-1, 3), target_last]),
+            "weight": jnp.concatenate([recs["alive"].reshape(-1), last_rec["alive"]]),
+        }
+    else:
+        records = {
+            "position": last_rec["position"],
+            "normal": last_rec["normal"],
+            "view": last_rec["view"],
+            "roughness": last_rec["roughness"],
+            "albedo": last_rec["albedo"],
+            "metalness": last_rec["metalness"],
+            "target": target_last,
+            "weight": last_rec["alive"],
+        }
     return train_cache_step(cache_state, optimizer, records, scene["aabb_min"], scene["aabb_max"])

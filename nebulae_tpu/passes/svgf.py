@@ -48,7 +48,11 @@ def svgf_temporal(
     Returns (accum_radiance, moments, variance, new_histlen).
     """
     dz = _finite_depth(depth) - _finite_depth(hist_depth)
-    w_depth = jnp.exp(-(dz * dz) / (2.0 * cfg.svgf_depth_sigma * cfg.svgf_depth_sigma))
+    # Relative depth tolerance: the reference's absolute sigma (0.002) only
+    # works because it never runs under motion; reprojected lookups need a
+    # scale-aware compare.
+    sigma = jnp.maximum(cfg.svgf_depth_sigma, 0.02 * _finite_depth(depth))
+    w_depth = jnp.exp(-(dz * dz) / (2.0 * sigma * sigma))
     w_normal = jnp.clip((normal * hist_normal).sum(-1), 0.0, 1.0)
     w = w_depth * w_normal
     alpha = cfg.svgf_temporal_alpha * w  # history weight, 0 when unstable
@@ -103,7 +107,15 @@ def _shift2d(img, dy: int, dx: int):
 
 
 def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
-    """One dilated 5x5 a-trous iteration. Returns filtered radiance."""
+    """One dilated 5x5 a-trous iteration. Returns filtered radiance.
+
+    The edge-stop weights are detached: given weights, the filter is linear
+    in radiance, so its VJP is just the transposed (mirrored) filter --
+    cheap.  Differentiating *through* the weights would chain exp/pow
+    gradients across 25 taps x 4 passes for no useful signal (the weights
+    are denoising heuristics, not physical quantities)."""
+    import jax
+
     lum0 = nmath.luminance(radiance, jnp)
     var_scale = jnp.maximum(cfg.svgf_phi_color * jnp.sqrt(jnp.maximum(variance, 1e-8)), 1e-6)
     z0 = _finite_depth(depth)
@@ -119,7 +131,7 @@ def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
             wz = jnp.exp(-jnp.abs(z0 - z) / (cfg.svgf_phi_depth * step))
             wn = jnp.clip((normal * n).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
             wl = jnp.exp(-jnp.abs(lum0 - lum) / var_scale)
-            w = k * wz * wn * wl
+            w = jax.lax.stop_gradient(k * wz * wn * wl)
             sum_c = sum_c + c * w[..., None]
             sum_w = sum_w + w
     return sum_c / jnp.maximum(sum_w, 1e-4)[..., None]
@@ -134,6 +146,71 @@ def svgf_atrous(radiance, variance, depth, normal, cfg):
     for i in range(cfg.svgf_atrous_passes):
         out = svgf_atrous_step(out, variance, depth, normal, 1 << i, cfg)
     return out
+
+
+def _bilinear_history(img, x, y):
+    """Bilinear gather from an image-space history buffer.
+
+    img [H, W, C] or [H, W]; x, y [H, W] float pixel coords. Returns sampled
+    values + an in-bounds weight mask [H, W]."""
+    h, w = img.shape[0], img.shape[1]
+    # Half-pixel tolerance: border pixels reproject to exactly w-1 +/- fp.
+    in_bounds = (x >= -0.5) & (x <= w - 0.5) & (y >= -0.5) & (y <= h - 0.5)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    if img.ndim == 2:
+        imgc = img[..., None]
+    else:
+        imgc = img
+    c00 = imgc[y0i, x0i]
+    c01 = imgc[y0i, x1i]
+    c10 = imgc[y1i, x0i]
+    c11 = imgc[y1i, x1i]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+    if img.ndim == 2:
+        out = out[..., 0]
+    return out, in_bounds
+
+
+def reproject_history(history: dict, position, prev_viewproj, width: int, height: int, prev_eye=None, current_depth=None):
+    """Motion-vector temporal reprojection (beyond the reference, which
+    disables SVGF while the camera moves, DeferredRenderer.cpp:595): project
+    this frame's world positions through the *previous* frame's view-proj,
+    sample every history buffer bilinearly there, and zero the stability
+    weight off-screen.
+
+    position [H, W, 3]; prev_viewproj [4, 4]. Returns (warped history dict,
+    valid [H, W])."""
+    p = jnp.concatenate([position, jnp.ones(position.shape[:-1] + (1,), position.dtype)], -1)
+    clip = p @ prev_viewproj.T
+    w_c = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w_c) < 1e-8, 1.0, w_c)
+    ndc = clip[..., :3] / safe_w[..., None]
+    x = (ndc[..., 0] * 0.5 + 0.5) * width - 0.5
+    y = (0.5 - ndc[..., 1] * 0.5) * height - 0.5
+    in_front = w_c > 1e-8
+
+    rad, ib = _bilinear_history(history["radiance"], x, y)
+    dep, _ = _bilinear_history(history["depth"], x, y)
+    nrm, _ = _bilinear_history(history["normal"], x, y)
+    mom, _ = _bilinear_history(history["moments"], x, y)
+    hl, _ = _bilinear_history(history["histlen"], x, y)
+    if prev_eye is not None and current_depth is not None:
+        # History depth is distance from the *previous* eye; re-express it so
+        # the temporal compare (current_depth - warped_depth) measures the
+        # actual disocclusion error |expected_prev - sampled_prev|.
+        expected_prev = jnp.linalg.norm(position - prev_eye, axis=-1)
+        dep = dep - expected_prev + current_depth
+    warped = {"radiance": rad, "depth": dep, "normal": nrm, "moments": mom, "histlen": hl}
+    return warped, ib & in_front
 
 
 def svgf_denoise(radiance, depth, normal, history: dict, cfg, hit=None):
@@ -177,4 +254,6 @@ def init_history(height: int, width: int):
         "normal": jnp.zeros((height, width, 3), jnp.float32),
         "moments": jnp.zeros((height, width, 2), jnp.float32),
         "histlen": jnp.zeros((height, width), jnp.float32),
+        "prev_viewproj": jnp.eye(4, dtype=jnp.float32),
+        "prev_eye": jnp.zeros(3, jnp.float32),
     }

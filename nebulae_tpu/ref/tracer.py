@@ -166,7 +166,7 @@ def render_direct_np(scene, camera, cfg, sun, frame=0):
     xs, ys = np.meshgrid(np.arange(w, dtype=np.uint32), np.arange(h, dtype=np.uint32))
     state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, frame)
     direct, state = shade_direct_np(scene, gbuf, sun, state)
-    sky = brdf.sky_radiance(gbuf["ray_d"], np.asarray(sun.sky_color, np.float32), np)
+    sky = brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, np)
     img = np.where(gbuf["hit"][..., None], direct, sky)
     return img.reshape(h, w, 3).astype(np.float32)
 
@@ -184,7 +184,6 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
     acc = np.zeros((n_pix, 3), np.float32)
     sun_dir = np.asarray(sun.direction, np.float32)
     sun_rad = np.asarray(sun.radiance, np.float32)
-    sky = np.asarray(sun.sky_color, np.float32)
 
     for s in range(cfg.spp):
         throughput = np.ones((n_pix, 3), np.float32)
@@ -236,9 +235,8 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
             hit = intersect_closest_np(origin, new_d, scene["tri_pos"])
             found = hit["tri"] >= 0
             # miss -> sky contribution, path dies
-            acc += np.where(
-                (alive & ~found)[..., None], throughput * sky[None, :], 0.0
-            )
+            sky_b = brdf.sky_eval(new_d, sun, scene, cfg, np)
+            acc += np.where((alive & ~found)[..., None], throughput * sky_b, 0.0)
             # NOTE: no early-out on all-dead -- the per-pixel RNG stream must
             # consume exactly the same number of draws as the TPU tracer so
             # multi-sample sequences stay bit-identical.
@@ -249,5 +247,6 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
 
     img = acc / cfg.spp
     # Misses on the primary ray show the sky directly.
-    img = np.where(gbuf["hit"][..., None], img, sky[None, :])
+    sky_p = brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, np)
+    img = np.where(gbuf["hit"][..., None], img, sky_p)
     return img.reshape(h, w, 3).astype(np.float32)

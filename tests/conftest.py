@@ -7,10 +7,18 @@ Multi-chip shardings are validated without TPU hardware via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient environment (the shell may export
+# JAX_PLATFORMS=axon for the TPU tunnel; tests must never grab the chip).
+# jax may already be imported by a pytest plugin before this conftest runs,
+# so set the config directly too -- the backend initializes lazily.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,70 @@
+"""BVH refit: bounds stay valid after geometry motion; traversal stays exact."""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_refit_matches_rebuild_bounds(cornell_scene):
+    from nebulae_tpu.bvh.cbuilder import build_bvh_fast
+    from nebulae_tpu.bvh.refit import compute_levels, refit_bvh
+
+    tri = cornell_scene.flat.tri_pos
+    bvh = build_bvh_fast(tri)
+    levels = compute_levels(bvh)
+    dev = {k: jnp.asarray(v) for k, v in bvh.device_arrays().items()}
+
+    # Unmoved geometry: refit reproduces the builder's bounds.
+    lo, hi = refit_bvh(dev, jnp.asarray(tri), levels)
+    np.testing.assert_allclose(np.asarray(lo), bvh.node_lo, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hi), bvh.node_hi, rtol=1e-6, atol=1e-6)
+
+
+def test_refit_traversal_after_motion(cornell_scene):
+    from nebulae_tpu.bvh.cbuilder import build_bvh_fast
+    from nebulae_tpu.bvh.refit import compute_levels, refit_bvh
+    from nebulae_tpu.ref.tracer import intersect_closest_np
+    from nebulae_tpu.tracer.trace import bvh_closest_hit
+
+    tri = cornell_scene.flat.tri_pos
+    bvh = build_bvh_fast(tri)
+    levels = compute_levels(bvh)
+    dev = {k: jnp.asarray(v) for k, v in bvh.device_arrays().items()}
+
+    # Move the scene (translate + squash) without changing topology.
+    moved = tri * np.array([1.0, 0.7, 1.0], np.float32) + np.array([0.3, 0.1, -0.2], np.float32)
+    lo, hi = refit_bvh(dev, jnp.asarray(moved), levels)
+    dev2 = dict(dev)
+    dev2["node_lo"] = lo
+    dev2["node_hi"] = hi
+
+    rng = np.random.default_rng(5)
+    center = moved.reshape(-1, 3).mean(0)
+    o = (center + rng.normal(size=(512, 3)) * 2).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref = intersect_closest_np(o, d, moved)
+    out = bvh_closest_hit(jnp.asarray(o), jnp.asarray(d), dev2, jnp.asarray(moved))
+    np.testing.assert_array_equal(ref["tri"] >= 0, np.asarray(out["tri"]) >= 0)
+    m = ref["tri"] >= 0
+    np.testing.assert_allclose(ref["t"][m], np.asarray(out["t"])[m], rtol=1e-4, atol=1e-5)
+
+
+def test_repack_pallas_bounds(cornell_scene):
+    from nebulae_tpu.bvh.cbuilder import build_bvh_fast
+    from nebulae_tpu.bvh.refit import compute_levels, refit_bvh, repack_pallas_bounds
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_for_pallas
+
+    tri = cornell_scene.flat.tri_pos
+    bvh = build_bvh_fast(tri)
+    packed = pack_bvh_for_pallas(bvh, tri)
+    dev = {k: jnp.asarray(v) for k, v in bvh.device_arrays().items()}
+    moved = tri + np.float32(1.5)
+    lo, hi = refit_bvh(dev, jnp.asarray(moved), compute_levels(bvh))
+    nodes2 = np.asarray(repack_pallas_bounds(jnp.asarray(packed["nodes"]), lo, hi))
+    n = bvh.num_nodes
+    flat = nodes2.transpose(0, 2, 1).reshape(-1, 8)[:n]
+    np.testing.assert_allclose(flat[:, 0:3], np.asarray(lo), rtol=1e-6)
+    np.testing.assert_allclose(flat[:, 3:6], np.asarray(hi), rtol=1e-6)
+    # Metadata rows untouched
+    orig = packed["nodes"].transpose(0, 2, 1).reshape(-1, 8)[:n]
+    np.testing.assert_array_equal(flat[:, 6], orig[:, 6])

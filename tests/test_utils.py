@@ -1,0 +1,81 @@
+"""Auxiliary subsystems: checkpoint/resume, golden dumps, display, app CLI."""
+
+import numpy as np
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import init_frame_state
+    from nebulae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = RenderConfig(width=16, height=16, enable_nrc=True)
+    state = init_frame_state(cfg)
+    state["frame"] = jnp.uint32(42)
+    d = save_checkpoint(tmp_path / "ckpt", state, step=7)
+    restored = load_checkpoint(d, init_frame_state(cfg))
+    assert int(restored["frame"]) == 42
+    a = np.asarray(state["nrc"]["params"][0]["w"])
+    b = np.asarray(restored["nrc"]["params"][0]["w"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_golden_roundtrip(tmp_path, cornell_scene):
+    from nebulae_tpu.utils.golden import compare_golden, dump_golden
+
+    tree = cornell_scene.flat.device_arrays()
+    p = tmp_path / "scene.npz"
+    dump_golden(p, tree)
+    assert compare_golden(p, tree) == []
+    bad = dict(tree)
+    bad["mat_base_color"] = tree["mat_base_color"] + 0.5
+    problems = compare_golden(p, bad)
+    assert any("mat_base_color" in x for x in problems)
+
+
+def test_display_writer(tmp_path):
+    import numpy as np
+
+    from nebulae_tpu.utils.display import FrameWriter, ldr_to_srgb_u8
+
+    img = np.linspace(0, 1, 16 * 16 * 3, dtype=np.float32).reshape(16, 16, 3)
+    u8 = ldr_to_srgb_u8(img)
+    assert u8.dtype == np.uint8 and u8.shape == (16, 16, 3)
+    w = FrameWriter(tmp_path, fmt="png")
+    for _ in range(3):
+        w.present(img)
+    w.flush()
+    assert len(list(tmp_path.glob("frame_*.png"))) == 3
+
+
+def test_app_cli_smoke(tmp_path):
+    """End-to-end CLI run on the CPU backend (tiny frame)."""
+    from nebulae_tpu.app import main
+
+    rc = main(
+        [
+            "--scene", "/root/reference/assets/cornell_box/cornell_box.gltf",
+            "--width", "32", "--height", "32", "--frames", "2", "--bounces", "2",
+            "--out", str(tmp_path / "frames"), "--no-svgf",
+        ]
+    )
+    assert rc == 0
+    assert len(list((tmp_path / "frames").glob("*.png"))) == 2
+
+
+def test_logging_and_timer(capsys):
+    from nebulae_tpu.utils.logging import log_info, log_warn, neb_assert
+    from nebulae_tpu.utils.profiling import RaysPerSecond
+
+    log_info("hello")
+    log_warn("careful")
+    neb_assert(True, "fine")
+    try:
+        neb_assert(False, "boom")
+        raise RuntimeError("unreachable")
+    except AssertionError:
+        pass
+    r = RaysPerSecond()
+    r.add(1_000_000, 0.5)
+    assert abs(r.mrays_s - 2.0) < 1e-6
