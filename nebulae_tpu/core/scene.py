@@ -49,6 +49,7 @@ class FlatScene:
     tri_uv: np.ndarray
     tri_tan: np.ndarray
     tri_mat: np.ndarray
+    tri_face_nrm: np.ndarray  # [T, 3] geometric (face) normals
     # material tables
     mat_base_color: np.ndarray  # [M, 4]
     mat_metallic: np.ndarray  # [M]
@@ -56,6 +57,12 @@ class FlatScene:
     mat_emissive: np.ndarray  # [M, 3]
     mat_tex_ids: np.ndarray  # [M, 4] i32: base/mr/normal/emissive (-1 = none)
     mat_flags: np.ndarray  # [M] i32
+    # Texture-averaged material values ("1x1 mip"): bounce shading uses these
+    # instead of per-hit texture fetches (cfg.fast_bounce_shading)
+    mat_avg_albedo: np.ndarray  # [M, 3] linear
+    mat_avg_rough: np.ndarray  # [M]
+    mat_avg_metal: np.ndarray  # [M]
+    mat_avg_emissive: np.ndarray  # [M, 3]
     # texture stack
     textures: np.ndarray  # [K, TH, TW, 4] u8 (K may be 0)
     tex_hw: np.ndarray  # [K, 2] i32 actual (h, w)
@@ -79,12 +86,17 @@ class FlatScene:
             "tri_uv": self.tri_uv,
             "tri_tan": self.tri_tan,
             "tri_mat": self.tri_mat,
+            "tri_face_nrm": self.tri_face_nrm,
             "mat_base_color": self.mat_base_color,
             "mat_metallic": self.mat_metallic,
             "mat_roughness": self.mat_roughness,
             "mat_emissive": self.mat_emissive,
             "mat_tex_ids": self.mat_tex_ids,
             "mat_flags": self.mat_flags,
+            "mat_avg_albedo": self.mat_avg_albedo,
+            "mat_avg_rough": self.mat_avg_rough,
+            "mat_avg_metal": self.mat_avg_metal,
+            "mat_avg_emissive": self.mat_avg_emissive,
             "textures": self.textures,
             "tex_hw": self.tex_hw,
             "aabb_min": self.aabb_min,
@@ -153,6 +165,49 @@ def _pack_textures(images: list[np.ndarray], max_dim: int | None = None):
     return stack, hw
 
 
+def _average_material_tables(mats, images, base, metal, rough, emis):
+    """Texture-averaged ("1x1 mip") material values for fast bounce shading."""
+    from nebulae_tpu.core.texture import srgb_to_linear
+
+    m = len(mats)
+    avg_albedo = base[:, :3].copy()
+    avg_rough = rough.copy()
+    avg_metal = metal.copy()
+    avg_emissive = emis.copy()
+
+    def tex_mean(idx, stride=4):
+        img = images[idx][::stride, ::stride, :3].astype(np.float32) / 255.0
+        return img
+
+    for i, md in enumerate(mats):
+        if 0 <= md.base_color_tex < len(images):
+            avg_albedo[i] *= srgb_to_linear(tex_mean(md.base_color_tex)).mean(axis=(0, 1))
+        if 0 <= md.metallic_roughness_tex < len(images):
+            mr = tex_mean(md.metallic_roughness_tex).mean(axis=(0, 1))
+            avg_rough[i] *= mr[1]
+            avg_metal[i] *= mr[2]
+        if 0 <= md.emissive_tex < len(images):
+            avg_emissive[i] *= srgb_to_linear(tex_mean(md.emissive_tex)).mean(axis=(0, 1))
+    return (
+        avg_albedo.astype(np.float32),
+        np.clip(avg_rough, 0.02, 1.0).astype(np.float32),
+        np.clip(avg_metal, 0.0, 1.0).astype(np.float32),
+        avg_emissive.astype(np.float32),
+    )
+
+
+def face_normals(tri_pos: np.ndarray, tri_nrm: np.ndarray) -> np.ndarray:
+    """Geometric normals oriented along the average shading normal."""
+    if tri_pos.shape[0] == 0:
+        return np.zeros((0, 3), np.float32)
+    e1 = tri_pos[:, 1] - tri_pos[:, 0]
+    e2 = tri_pos[:, 2] - tri_pos[:, 0]
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    flip = (fn * tri_nrm.mean(axis=1)).sum(-1) < 0.0
+    return np.where(flip[:, None], -fn, fn).astype(np.float32)
+
+
 def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatScene:
     """Bake all instances into world-space triangle SoA tables."""
     pos_l, nrm_l, uv_l, tan_l, mat_l = [], [], [], [], []
@@ -183,6 +238,9 @@ def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatS
 
     base, metal, rough, emis, tex, flags = _pack_materials(asset.materials)
     textures, tex_hw = _pack_textures(asset.images, max_texture_dim)
+    avg_albedo, avg_rough, avg_metal, avg_emissive = _average_material_tables(
+        asset.materials, asset.images, base, metal, rough, emis
+    )
 
     return FlatScene(
         tri_pos=tri_pos,
@@ -190,12 +248,17 @@ def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatS
         tri_uv=tri_uv,
         tri_tan=tri_tan,
         tri_mat=tri_mat,
+        tri_face_nrm=face_normals(tri_pos, tri_nrm),
         mat_base_color=base,
         mat_metallic=metal,
         mat_roughness=rough,
         mat_emissive=emis,
         mat_tex_ids=tex,
         mat_flags=flags,
+        mat_avg_albedo=avg_albedo,
+        mat_avg_rough=avg_rough,
+        mat_avg_metal=avg_metal,
+        mat_avg_emissive=avg_emissive,
         textures=textures,
         tex_hw=tex_hw,
         aabb_min=asset.aabb_min.astype(np.float32),

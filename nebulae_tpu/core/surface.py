@@ -147,3 +147,38 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
         "metalness": xp.clip(metal, 0.0, 1.0),
         "emissive": emissive,
     }
+
+
+def reconstruct_surface_fast(scene: dict, tri_id, u, v, ray_o, ray_d, t, xp=None):
+    """Cheap surface reconstruction for secondary bounces
+    (cfg.fast_bounce_shading): position from the ray equation (no gather),
+    geometric normal from the precomputed per-face table, shading normal
+    interpolated, and material values from the texture-averaged "1x1 mip"
+    tables -- zero texture fetches, ~5x less gathered data per bounce.
+
+    Returns the same keys as reconstruct_surface (uv omitted)."""
+    xp = xp or _xp(u)
+    tid = xp.clip(tri_id, 0, scene["tri_pos"].shape[0] - 1)
+    tcl = xp.clip(xp.asarray(t, xp.float32), 0.0, 1e30)
+    pos = ray_o + tcl[..., None] * ray_d
+    nrm = nmath.normalize(interpolate(scene["tri_nrm"], tid, u, v, xp))
+    ng = _stopgrad(scene["tri_face_nrm"], xp)[tid]
+    mat = scene["tri_mat"][tid]
+    albedo = fetch_rows(scene["mat_avg_albedo"], mat, xp)
+    rough = fetch_rows(scene["mat_avg_rough"][:, None], mat, xp)[..., 0]
+    metal = fetch_rows(scene["mat_avg_metal"][:, None], mat, xp)[..., 0]
+    emissive = fetch_rows(scene["mat_avg_emissive"], mat, xp)
+
+    view_dir = -ray_d
+    flip = xp.where(nmath.dot(nrm, view_dir) < 0.0, -1.0, 1.0)
+    ns = nrm * flip
+    ng = ng * xp.where(nmath.dot(ng, ns) < 0.0, -1.0, 1.0)
+    return {
+        "position": pos,
+        "normal_g": ng,
+        "normal_s": ns,
+        "albedo": albedo,
+        "roughness": xp.clip(rough, 0.02, 1.0),
+        "metalness": xp.clip(metal, 0.0, 1.0),
+        "emissive": emissive,
+    }

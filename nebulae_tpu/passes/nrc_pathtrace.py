@@ -51,7 +51,14 @@ def _indirect_step(scene, surf, alive, rng_state, closest_fn, cfg):
     origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
     hit = _trace_bounce(scene, closest_fn, origin, new_d, alive, cfg)
     found = hit["tri"] >= 0
-    surf_full = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
+    if cfg.fast_bounce_shading:
+        from nebulae_tpu.core.surface import reconstruct_surface_fast
+
+        surf_full = reconstruct_surface_fast(
+            scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], jnp
+        )
+    else:
+        surf_full = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
     new_surf = {k: surf_full[k] for k in SURF_KEYS}
     new_view = -new_d
     cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], new_view)[..., 0], 1e-3, 1.0)

@@ -100,7 +100,16 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
-        surf_full = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
+        if cfg.fast_bounce_shading:
+            from nebulae_tpu.core.surface import reconstruct_surface_fast
+
+            surf_full = reconstruct_surface_fast(
+                scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], jnp
+            )
+        else:
+            surf_full = reconstruct_surface(
+                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
+            )
         surf = {k: surf_full[k] for k in SURF_KEYS}
         acc = acc + jnp.where(alive[..., None], throughput * surf["emissive"], 0.0)
         return (rng_state, throughput, alive, acc, surf, -new_d), None

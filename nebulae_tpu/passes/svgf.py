@@ -208,7 +208,7 @@ def reproject_history(history: dict, position, prev_viewproj, width: int, height
         # the temporal compare (current_depth - warped_depth) measures the
         # actual disocclusion error |expected_prev - sampled_prev|.
         expected_prev = jnp.linalg.norm(position - prev_eye, axis=-1)
-        dep = dep - expected_prev + current_depth
+        dep = dep - expected_prev + _finite_depth(current_depth)
     warped = {"radiance": rad, "depth": dep, "normal": nrm, "moments": mom, "histlen": hl}
     return warped, ib & in_front
 
@@ -236,7 +236,9 @@ def svgf_denoise(radiance, depth, normal, history: dict, cfg, hit=None):
         out = jnp.where(hit[..., None], out, radiance)
     new_history = {
         "radiance": accum,
-        "depth": depth,
+        # Cap at the far plane: storing inf (primary-miss depth) would turn
+        # next frame's bilinear history taps into inf*0 = NaN.
+        "depth": _finite_depth(depth),
         "normal": normal,
         "moments": moments,
         "histlen": histlen,

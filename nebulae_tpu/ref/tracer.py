@@ -18,7 +18,7 @@ import numpy as np
 from nebulae_tpu.core import brdf, rng as nrng
 from nebulae_tpu.core import math as nmath
 from nebulae_tpu.core.camera import Camera, camera_rays
-from nebulae_tpu.core.surface import reconstruct_surface
+from nebulae_tpu.core.surface import reconstruct_surface, reconstruct_surface_fast
 
 _EPS = 1e-7
 
@@ -241,7 +241,12 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
             # consume exactly the same number of draws as the TPU tracer so
             # multi-sample sequences stay bit-identical.
             alive = alive & found
-            surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=np)
+            if cfg.fast_bounce_shading:
+                surf = reconstruct_surface_fast(
+                    scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], np
+                )
+            else:
+                surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=np)
             acc += np.where(alive[..., None], throughput * surf["emissive"], 0.0)
             view = -new_d
 

@@ -30,6 +30,11 @@ def _concat_scene(parts: list[FlatScene]) -> FlatScene:
         tri_uv=np.concatenate([p.tri_uv for p in parts]),
         tri_tan=np.concatenate([p.tri_tan for p in parts]),
         tri_mat=np.concatenate([p.tri_mat for p in parts]),
+        tri_face_nrm=np.concatenate([p.tri_face_nrm for p in parts]),
+        mat_avg_albedo=base.mat_avg_albedo,
+        mat_avg_rough=base.mat_avg_rough,
+        mat_avg_metal=base.mat_avg_metal,
+        mat_avg_emissive=base.mat_avg_emissive,
         mat_base_color=base.mat_base_color,
         mat_metallic=base.mat_metallic,
         mat_roughness=base.mat_roughness,
@@ -92,12 +97,19 @@ def helmet_field(nx: int = 4, nz: int = 4, spacing: float = 3.0, max_texture_dim
     fs.tri_uv = np.concatenate([fs.tri_uv, uv])
     fs.tri_tan = np.concatenate([fs.tri_tan, tan])
     fs.tri_mat = np.concatenate([fs.tri_mat, np.full(2, fs.num_materials, np.int32)])
+    fs.tri_face_nrm = np.concatenate(
+        [fs.tri_face_nrm, np.tile(np.array([0, 1, 0], np.float32), (2, 1))]
+    )
     fs.mat_base_color = np.concatenate([fs.mat_base_color, [[0.6, 0.6, 0.6, 1.0]]]).astype(np.float32)
     fs.mat_metallic = np.concatenate([fs.mat_metallic, [0.0]]).astype(np.float32)
     fs.mat_roughness = np.concatenate([fs.mat_roughness, [0.9]]).astype(np.float32)
     fs.mat_emissive = np.concatenate([fs.mat_emissive, [[0, 0, 0]]]).astype(np.float32)
     fs.mat_tex_ids = np.concatenate([fs.mat_tex_ids, [[-1, -1, -1, -1]]]).astype(np.int32)
     fs.mat_flags = np.concatenate([fs.mat_flags, [0]]).astype(np.int32)
+    fs.mat_avg_albedo = np.concatenate([fs.mat_avg_albedo, [[0.6, 0.6, 0.6]]]).astype(np.float32)
+    fs.mat_avg_rough = np.concatenate([fs.mat_avg_rough, [0.9]]).astype(np.float32)
+    fs.mat_avg_metal = np.concatenate([fs.mat_avg_metal, [0.0]]).astype(np.float32)
+    fs.mat_avg_emissive = np.concatenate([fs.mat_avg_emissive, [[0, 0, 0]]]).astype(np.float32)
     fs.aabb_min = np.minimum(fs.aabb_min, plane.reshape(-1, 3).min(0))
     fs.aabb_max = np.maximum(fs.aabb_max, plane.reshape(-1, 3).max(0))
     return fs
