@@ -23,6 +23,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent XLA compilation cache: the 1080p forward + train-step
+    # programs take minutes to compile cold; cached they load in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from nebulae_tpu.config import RenderConfig, SunLight
@@ -35,6 +40,11 @@ def main() -> None:
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces,
         enable_svgf=True, enable_tonemap=True, tracer="auto",
+        # Production GI config: secondary bounces shade from face normals +
+        # texture-averaged materials (tiny bias, no per-hit texture gathers).
+        # The CPU oracle implements the identical fast path, so the allclose
+        # correctness gate covers this configuration (tests/test_fast_shading).
+        fast_bounce_shading=True,
     )
     fs = helmet_field(3, 3, max_texture_dim=512)
     renderer = Renderer(fs, cfg)

@@ -179,13 +179,26 @@ class Renderer:
         )
         if bvh is None and needs_bvh:
             from nebulae_tpu.bvh import build_bvh_fast
-            from nebulae_tpu.kernels.pallas_trace import pack_bvh_for_pallas
+            from nebulae_tpu.kernels.pallas_trace import (
+                SINGLE_TABLE_MAX_TRIS,
+                pack_bvh_chunks,
+                pack_bvh_for_pallas,
+            )
 
             flat_bvh = build_bvh_fast(flat_scene.tri_pos)
             bvh = flat_bvh.device_arrays()
-            bvh.update(pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos))
+            if t_count > SINGLE_TABLE_MAX_TRIS:
+                # Sponza-class: VMEM-sized subtree chunks for the kernel.
+                bvh["chunks"] = pack_bvh_chunks(flat_bvh, flat_scene.tri_pos)
+            else:
+                bvh.update(pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos))
         self.bvh = (
-            {k: jnp.asarray(v) for k, v in bvh.items()} if isinstance(bvh, dict) and bvh else None
+            {
+                k: ([jax.tree.map(jnp.asarray, c) for c in v] if k == "chunks" else jnp.asarray(v))
+                for k, v in bvh.items()
+            }
+            if isinstance(bvh, dict) and bvh
+            else None
         )
         if sun is None:
             sun = SunLight.default(np)

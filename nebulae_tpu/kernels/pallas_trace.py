@@ -21,10 +21,16 @@ denormals, so no bitcasting).
 Memory layout (built host-side by `pack_bvh_for_pallas`):
   nodes [Nb, 8, 128] f32 -- node i at block i>>7, lane i&127:
         rows 0-2 lo.xyz, 3-5 hi.xyz,
-        row 6: enc = first_or_right * 8 + count  (exact below 2^24)
+        row 6: enc = first_or_right * 32 + field  (exact below 2^24)
         row 7: unused.
-        Inner: first_or_right = right child (left child is i+1, pre-order),
-        count = 0; leaf: first triangle in permuted order, count in [1, 4].
+        field 1..15: leaf, field = triangle count, first_or_right = first
+        triangle in permuted order.  field 16..21: inner,
+        field = 16 + split_axis*2 + left_is_lower, first_or_right = right
+        child (left child is i+1, pre-order).  field 0: table padding.
+        The axis/lower bits drive *near-child-first* ordered traversal: all
+        rays in a tile share direction signs (octant-sorted upstream), so one
+        scalar compare per node picks the child order that tightens the
+        closest-hit t cap earliest.
   tris  [Tb, 16, 128] f32 -- triangle j at block j>>7, lane j&127:
         rows 0-2 v0, 3-5 e1, 6-8 e2, 9 original-id (f32), 10-15 reserved.
 
@@ -51,7 +57,10 @@ LANES = 128
 TILE = SUB * LANES  # rays per packet
 STACK_DEPTH = 128  # max tree depth + 1 (SAH trees of <=4M tris stay under)
 EPS = 1e-7
-META_SHIFT = 3  # enc = first_or_right * 8 + count (count <= 4 < 8)
+META_SHIFT = 5  # enc = first_or_right * 32 + field (field in [0, 21])
+DEAD_RAY_ORIGIN = 1.0e13  # |origin| beyond this = ejected/padded lane
+MAX_LEAF_FIELD = 15  # field 1..15 = leaf count; INNER_FIELD+ = inner
+INNER_FIELD = 16  # inner field = 16 + axis*2 + left_is_lower
 
 
 # ---------------------------------------------------------------------------
@@ -62,21 +71,31 @@ META_SHIFT = 3  # enc = first_or_right * 8 + count (count <= 4 < 8)
 def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray) -> dict:
     """FlatBVH + world triangles -> lane-packed VMEM tables (numpy)."""
     n = int(bvh.node_lo.shape[0])
-    t = int(tri_pos.shape[0])
+    t = int(bvh.tri_index.shape[0])  # == all tris, or the chunk's subset
     nb = max((n + LANES - 1) // LANES, 1)
     tb = max((t + LANES - 1) // LANES, 1)
-    assert bvh.node_count.max(initial=0) < (1 << META_SHIFT), "leaf size exceeds meta bits"
+    assert bvh.node_count.max(initial=0) <= MAX_LEAF_FIELD, "leaf size exceeds meta bits"
 
     nodes_flat = np.zeros((nb * LANES, 8), np.float32)
     nodes_flat[:n, 0:3] = bvh.node_lo
     nodes_flat[:n, 3:6] = bvh.node_hi
     is_leaf = bvh.node_count > 0
     first_or_right = np.where(is_leaf, bvh.node_first, bvh.node_right).astype(np.int64)
-    enc = first_or_right * (1 << META_SHIFT) + bvh.node_count.astype(np.int64)
+    # Inner-node split axis + side, derived from child AABB centers (the
+    # builder puts lower-coordinate triangles in the left child along its
+    # split axis, so argmax center separation recovers it).
+    left = np.minimum(np.arange(n) + 1, max(n - 1, 0))
+    right = np.clip(bvh.node_right, 0, max(n - 1, 0))
+    c_l = (bvh.node_lo[left] + bvh.node_hi[left]) * 0.5
+    c_r = (bvh.node_lo[right] + bvh.node_hi[right]) * 0.5
+    axis = np.argmax(np.abs(c_r - c_l), axis=-1)
+    lower = (c_l[np.arange(n), axis] <= c_r[np.arange(n), axis]).astype(np.int64)
+    field = np.where(is_leaf, bvh.node_count.astype(np.int64), INNER_FIELD + axis * 2 + lower)
+    enc = first_or_right * (1 << META_SHIFT) + field
     assert enc.max(initial=0) < (1 << 24), "meta encoding exceeds f32 exact range"
     nodes_flat[:n, 6] = enc.astype(np.float32)
-    # Padding lanes: enc = 0 -> inner node pointing at right child 0 -- but
-    # they are never pushed, and their bounds are +/-0 (slab test misses).
+    # Padding lanes: enc = 0 -> field 0, neither leaf nor inner: never pushed,
+    # and their bounds are +/-0 (slab test misses).
     nodes = np.ascontiguousarray(nodes_flat.reshape(nb, LANES, 8).transpose(0, 2, 1))
 
     tperm = tri_pos[bvh.tri_index] if t else np.zeros((0, 3, 3), np.float32)
@@ -88,6 +107,57 @@ def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray) -> dict:
         tris_flat[:t, 9] = bvh.tri_index.astype(np.float32)
     tris = np.ascontiguousarray(tris_flat.reshape(tb, LANES, 16).transpose(0, 2, 1))
     return {"nodes": nodes, "tris": tris}
+
+
+MAX_CHUNK_TRIS = 96 * 1024  # per-chunk VMEM budget (~6 MB tris + ~2 MB nodes)
+SINGLE_TABLE_MAX_TRIS = 160 * 1024  # beyond this, chunk (whole table > ~12 MB)
+
+
+def pack_bvh_chunks(bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS) -> list[dict]:
+    """Cut the BVH into VMEM-sized subtree chunks; pack each for the kernel.
+
+    Scenes beyond ~150k triangles overflow VMEM as a single table
+    (Sponza-class: 262k).  The pre-order flatten makes subtrees contiguous in
+    both node index ([r, skip[r])) and DFS triangle order, so each cut
+    subtree re-bases to an independent table; the tracer chains chunks with
+    tightening per-ray t caps (pallas_closest_chunks).  Spatial coherence of
+    subtrees means most rays retire on all but 1-2 chunk roots."""
+    from types import SimpleNamespace
+
+    n = int(bvh.node_lo.shape[0])
+    is_leaf = bvh.node_count > 0
+    counts = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):  # children follow parents in pre-order
+        counts[i] = (
+            bvh.node_count[i] if is_leaf[i] else counts[i + 1] + counts[bvh.node_right[i]]
+        )
+    cuts = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if is_leaf[i] or counts[i] <= max_tris:
+            cuts.append(i)
+        else:
+            stack.append(int(bvh.node_right[i]))
+            stack.append(i + 1)
+
+    chunks = []
+    for r in sorted(cuts):
+        e = int(bvh.node_skip[r])
+        leaf_mask = is_leaf[r:e]
+        firsts = bvh.node_first[r:e][leaf_mask]
+        tri_base = int(firsts.min())
+        tri_cnt = int(counts[r])
+        sub = SimpleNamespace(
+            node_lo=bvh.node_lo[r:e],
+            node_hi=bvh.node_hi[r:e],
+            node_first=np.where(leaf_mask, bvh.node_first[r:e] - tri_base, 0).astype(np.int64),
+            node_count=bvh.node_count[r:e],
+            node_right=np.where(leaf_mask, -1, bvh.node_right[r:e] - r).astype(np.int64),
+            tri_index=bvh.tri_index[tri_base : tri_base + tri_cnt],
+        )
+        chunks.append(pack_bvh_for_pallas(sub, tri_pos))
+    return chunks
 
 
 def pack_rays(o, d):
@@ -200,6 +270,12 @@ def _closest_kernel(
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
+    # Per-tile direction signs (one-time syncs): rays are octant-sorted
+    # upstream, so the tile majority sign picks the true near child below.
+    pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
+    pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
+    pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
+
     stack_ref[0] = 0  # root
 
     def cond(state):
@@ -216,9 +292,10 @@ def _closest_kernel(
         # whose f32 matmul is a bf16 multi-pass -- values can come back a few
         # ulps off, and truncation would corrupt the child index.
         enc = jnp.round(vals[6, 0]).astype(jnp.int32)  # vector->scalar sync #2
-        count = jax.lax.rem(enc, 1 << META_SHIFT)
+        field = jax.lax.rem(enc, 1 << META_SHIFT)
         meta = jax.lax.div(enc, 1 << META_SHIFT)
-        is_leaf = count > 0
+        is_leaf = (field > 0) & (field <= MAX_LEAF_FIELD)
+        count = jnp.where(is_leaf, field, 0)
 
         def leaf_body(k, carry):
             bt, btri, bu, bv = carry
@@ -236,13 +313,21 @@ def _closest_kernel(
         n_tris = jnp.where(any_hit, count, 0)
         bt, btri, bu, bv = jax.lax.fori_loop(0, n_tris, leaf_body, (bt, btri, bu, bv))
 
-        # Branch-free push: write both children unconditionally, advance sp
-        # only for inner nodes with a box hit.  (Stack slots beyond sp are
-        # garbage by invariant.)
+        # Ordered branch-free push: near child on top (pops first) so its
+        # hits tighten bt before the far subtree is tested.  axis/lower are
+        # only meaningful for inner nodes; push is gated on is_leaf.
+        code = field - INNER_FIELD
+        axis = jax.lax.div(code, 2)
+        left_is_lower = jax.lax.rem(code, 2) > 0
+        d_pos = jnp.where(axis == 0, pos_x, jnp.where(axis == 1, pos_y, pos_z))
+        near_is_left = jnp.logical_not(jnp.logical_xor(d_pos, left_is_lower))
+        left = node + 1
+        near = jnp.where(near_is_left, left, meta)
+        far = jnp.where(near_is_left, meta, left)
         sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
-        stack_ref[sp_c] = meta  # right child
-        stack_ref[sp_c + 1] = node + 1  # left child (pops first)
-        push = any_hit & jnp.logical_not(is_leaf)
+        stack_ref[sp_c] = far
+        stack_ref[sp_c + 1] = near
+        push = any_hit & (field >= INNER_FIELD)
         sp = jnp.where(push, sp_c + 2, sp)
         return sp, bt, btri, bu, bv
 
@@ -272,13 +357,20 @@ def _any_kernel(
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tmax = tmax_ref[:]
 
+    # Ejected/padded lanes never occlude; precompute so the all-done early
+    # exit below can retire the tile without draining the stack.
+    dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
+        jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
+    )
+
     stack_ref[0] = 0
 
     def cond(state):
-        return state[0] > 0
+        sp, _, done_all = state
+        return (sp > 0) & jnp.logical_not(done_all)
 
     def body(state):
-        sp, occ = state
+        sp, occ, _ = state
         node = stack_ref[sp - 1]
         sp = sp - 1
         vals = _fetch_row(nodes_ref, node)
@@ -286,9 +378,10 @@ def _any_kernel(
         box_hit = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap)
         any_hit = jnp.any(box_hit)
         enc = jnp.round(vals[6, 0]).astype(jnp.int32)
-        count = jax.lax.rem(enc, 1 << META_SHIFT)
+        field = jax.lax.rem(enc, 1 << META_SHIFT)
         meta = jax.lax.div(enc, 1 << META_SHIFT)
-        is_leaf = count > 0
+        is_leaf = (field > 0) & (field <= MAX_LEAF_FIELD)
+        count = jnp.where(is_leaf, field, 0)
 
         def leaf_body(k, occ):
             tv = _fetch_row(tris_ref, meta + k)
@@ -301,12 +394,13 @@ def _any_kernel(
         sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
         stack_ref[sp_c] = meta
         stack_ref[sp_c + 1] = node + 1
-        push = any_hit & jnp.logical_not(is_leaf)
+        push = any_hit & (field >= INNER_FIELD)
         sp = jnp.where(push, sp_c + 2, sp)
-        return sp, occ
+        done_all = jnp.all((occ > 0.0) | dead)
+        return sp, occ, done_all
 
-    init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32))
-    _, occ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(False))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
     occ_out[:] = occ > 0.0
 
 
@@ -324,13 +418,23 @@ def _table_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _tmax_tiles(t_max, n, n_tiles):
+    """Scalar or per-ray [N] t_max -> [tiles*SUB, LANES] (pad lanes capped 0)."""
+    arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    pad = n_tiles * TILE - n
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros(pad, jnp.float32)])
+    return arr.reshape(n_tiles * SUB, LANES)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_closest_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     """o, d: [N, 3]. packed: pack_bvh_for_pallas output (device arrays).
+    t_max: scalar or per-ray [N] cap (chunk chaining passes running best-t).
 
     Returns dict(t, tri, u, v); tri in original ids, -1 = miss, t = +inf."""
     rays, n_tiles, n = pack_rays(o, d)
-    tmax = jnp.full((n_tiles * SUB, LANES), t_max, jnp.float32)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
     rs = _ray_spec()
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
@@ -361,7 +465,7 @@ def pallas_closest_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fals
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_any_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     rays, n_tiles, n = pack_rays(o, d)
-    tmax = jnp.full((n_tiles * SUB, LANES), t_max, jnp.float32)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
     rs = _ray_spec()
     occ = pl.pallas_call(
         _any_kernel,
@@ -376,3 +480,34 @@ def pallas_any_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
         packed["nodes"], packed["tris"],
     )
     return occ.reshape(-1)[:n]
+
+
+def pallas_closest_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = False):
+    """Closest hit over VMEM-sized BVH chunks (pack_bvh_chunks).
+
+    Sequential chunk passes with tightening per-ray t caps: each pass can
+    only beat the running best, so a plain take-if-hit merge is exact.  Table
+    DMA is once per chunk per call (whole-table VMEM spec); rays that miss a
+    chunk's root AABB cost one slab test."""
+    best = pallas_closest_hit(o, d, chunks[0], t_max=t_max, interpret=interpret)
+    for c in chunks[1:]:
+        cap = jnp.minimum(best["t"], t_max)
+        hit = pallas_closest_hit(o, d, c, t_max=cap, interpret=interpret)
+        take = hit["tri"] >= 0
+        best = {
+            "t": jnp.where(take, hit["t"], best["t"]),
+            "tri": jnp.where(take, hit["tri"], best["tri"]),
+            "u": jnp.where(take, hit["u"], best["u"]),
+            "v": jnp.where(take, hit["v"], best["v"]),
+        }
+    return best
+
+
+def pallas_any_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = False):
+    """Any-hit over BVH chunks: occluded rays are ejected to DEAD_RAY_ORIGIN
+    between passes so their tiles retire on the next chunk's root test."""
+    occ = pallas_any_hit(o, d, chunks[0], t_max=t_max, interpret=interpret)
+    for c in chunks[1:]:
+        o_live = jnp.where(occ[:, None], jnp.float32(10.0 * DEAD_RAY_ORIGIN), o)
+        occ = occ | pallas_any_hit(o_live, d, c, t_max=t_max, interpret=interpret)
+    return occ

@@ -212,7 +212,7 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
     closures capture them so jitted callers treat them as constants.
     """
     t_count = scene["tri_pos"].shape[0]
-    has_packed = bvh is not None and "nodes" in bvh and "tris" in bvh
+    has_packed = bvh is not None and ("chunks" in bvh or ("nodes" in bvh and "tris" in bvh))
     mode = cfg.tracer
     if mode == "auto":
         if bvh is None or t_count <= cfg.bruteforce_max_tris:
@@ -229,13 +229,22 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         closest = partial(bvh_closest_hit, bvh=bvh, tri_pos=scene["tri_pos"])
         any_hit = partial(bvh_any_hit, bvh=bvh, tri_pos=scene["tri_pos"])
     elif mode == "pallas":
-        from nebulae_tpu.kernels.pallas_trace import pallas_any_hit, pallas_closest_hit
+        from nebulae_tpu.kernels.pallas_trace import (
+            pallas_any_chunks,
+            pallas_any_hit,
+            pallas_closest_chunks,
+            pallas_closest_hit,
+        )
 
         assert has_packed, "packed tables required for tracer='pallas'"
-        packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
         interpret = jax.default_backend() != "tpu"
-        closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)
-        any_hit = partial(pallas_any_hit, packed=packed, interpret=interpret)
+        if "chunks" in bvh:  # Sponza-class: VMEM-sized subtree chunks
+            closest = partial(pallas_closest_chunks, chunks=bvh["chunks"], interpret=interpret)
+            any_hit = partial(pallas_any_chunks, chunks=bvh["chunks"], interpret=interpret)
+        else:
+            packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
+            closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)
+            any_hit = partial(pallas_any_hit, packed=packed, interpret=interpret)
     else:
         raise ValueError(f"unknown tracer mode: {mode}")
     return closest, any_hit

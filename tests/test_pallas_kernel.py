@@ -1,0 +1,129 @@
+"""Pallas packet-traversal kernel parity (interpret mode, CPU).
+
+Covers the lane-packed encode (axis/lower bits), ordered near-first
+traversal, per-ray t_max caps, the any-hit early exit, and VMEM chunking --
+all against the CPU brute-force oracle.
+"""
+
+import numpy as np
+import pytest
+
+
+def _soup(n_tris=1500, seed=11):
+    """Random triangle soup in [0,1]^3 with bounded triangle size."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0.0, 1.0, size=(n_tris, 1, 3))
+    off = rng.normal(scale=0.05, size=(n_tris, 2, 3))
+    tri = np.concatenate([base, base + off], axis=1).astype(np.float32)
+    return tri
+
+
+def _rays(n, seed=5):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.2, 1.2, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def soup_setup():
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_chunks, pack_bvh_for_pallas
+
+    tri = _soup()
+    bvh = build_bvh(tri)
+    packed = {k: jnp.asarray(v) for k, v in pack_bvh_for_pallas(bvh, tri).items()}
+    chunks = [
+        {k: jnp.asarray(v) for k, v in c.items()}
+        for c in pack_bvh_chunks(bvh, tri, max_tris=256)
+    ]
+    assert len(chunks) >= 4, "chunking must actually split this scene"
+    return tri, packed, chunks
+
+
+def test_pallas_closest_matches_oracle(soup_setup):
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels.pallas_trace import pallas_closest_hit
+    from nebulae_tpu.ref.tracer import intersect_closest_np
+
+    tri, packed, _ = soup_setup
+    o, d = _rays(1024)
+    ref = intersect_closest_np(o, d, tri)
+    out = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    hit_ref = ref["tri"] >= 0
+    np.testing.assert_array_equal(hit_ref, np.asarray(out["tri"]) >= 0)
+    np.testing.assert_allclose(ref["t"][hit_ref], np.asarray(out["t"])[hit_ref], rtol=1e-4, atol=1e-5)
+    assert (ref["tri"][hit_ref] == np.asarray(out["tri"])[hit_ref]).mean() > 0.99
+
+
+def test_pallas_chunked_matches_single(soup_setup):
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels.pallas_trace import pallas_closest_chunks, pallas_closest_hit
+
+    tri, packed, chunks = soup_setup
+    o, d = _rays(1024, seed=9)
+    one = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    many = pallas_closest_chunks(jnp.asarray(o), jnp.asarray(d), chunks, interpret=True)
+    hit = np.asarray(one["tri"]) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(many["tri"]) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(one["t"])[hit], np.asarray(many["t"])[hit], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_any_hit_matches_oracle(soup_setup):
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels.pallas_trace import pallas_any_chunks, pallas_any_hit
+    from nebulae_tpu.ref.tracer import intersect_any_np
+
+    tri, packed, chunks = soup_setup
+    o, d = _rays(1024, seed=3)
+    ref = intersect_any_np(o, d, tri)
+    occ = np.asarray(pallas_any_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True))
+    np.testing.assert_array_equal(ref, occ)
+    occ_c = np.asarray(pallas_any_chunks(jnp.asarray(o), jnp.asarray(d), chunks, interpret=True))
+    np.testing.assert_array_equal(ref, occ_c)
+
+
+def test_pallas_per_ray_tmax(soup_setup):
+    """Per-ray caps: rays capped below their hit distance must miss."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels.pallas_trace import pallas_closest_hit
+
+    tri, packed, _ = soup_setup
+    o, d = _rays(512, seed=21)
+    base = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    t = np.asarray(base["t"])
+    hit = np.asarray(base["tri"]) >= 0
+    cap = np.where(hit, t * 0.5, 1e30).astype(np.float32)
+    capped = pallas_closest_hit(
+        jnp.asarray(o), jnp.asarray(d), packed, t_max=jnp.asarray(cap), interpret=True
+    )
+    # Everything that hit at t now has cap t/2 -> no hit at-or-beyond cap.
+    ct = np.asarray(capped["t"])
+    cm = np.asarray(capped["tri"]) >= 0
+    assert not (cm & hit & (ct >= cap)).any()
+    assert (~cm[hit]).mean() > 0.5  # most capped rays lose their hit
+
+
+def test_pallas_dead_rays_miss(soup_setup):
+    """Ejected lanes (DEAD_ORIGIN) and zero-direction padding never hit."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels.pallas_trace import pallas_any_hit, pallas_closest_hit
+    from nebulae_tpu.tracer.sorting import DEAD_ORIGIN
+
+    tri, packed, _ = soup_setup
+    o, d = _rays(256, seed=2)
+    o[:128] = DEAD_ORIGIN
+    out = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    assert (np.asarray(out["tri"])[:128] == -1).all()
+    occ = pallas_any_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    assert not np.asarray(occ)[:128].any()
