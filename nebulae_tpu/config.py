@@ -71,6 +71,10 @@ class RenderConfig:
     fast_bounce_shading: bool = False
     # Brute force is faster below this triangle count (whole scene fits VMEM)
     bruteforce_max_tris: int = 4096
+    # BVH leaf size: bigger leaves trade sync-heavy node visits for dense
+    # packet triangle tests in the Pallas kernel (max 15, encoding limit).
+    # Measured on TPU v5e: 8 is ~5-8% faster than 4 across ray classes.
+    bvh_max_leaf: int = 8
 
 
 if struct is not None:

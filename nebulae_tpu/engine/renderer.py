@@ -70,7 +70,7 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         if cfg.enable_gi and cfg.enable_nrc:
             from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_query
 
-            sample, rng_state = path_trace_nrc_query(
+            sample, rng_state, nrc_aux = path_trace_nrc_query(
                 scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg,
                 state["nrc"]["ema_params"],
             )
@@ -84,11 +84,10 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     if cfg.enable_gi and cfg.enable_nrc:
         # Online cache training (the QueryAndTrain analogue) fused into the
         # same jitted frame at reduced resolution.
-        import optax
-
+        from nebulae_tpu.nrc.cache import make_optimizer
         from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_train
 
-        optimizer = optax.adam(cfg.nrc_learning_rate)
+        optimizer = make_optimizer(cfg.nrc_learning_rate)
         new_cache, nrc_loss = path_trace_nrc_train(
             scene, sun, closest_fn, any_fn, cfg, state["nrc"], optimizer, cam, state["frame"]
         )
@@ -158,6 +157,9 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         "albedo": gbuf["albedo"].reshape(h, w, 3),
         "hit": gbuf["hit"].reshape(h, w),
         "nrc_loss": nrc_loss,
+        "nrc_query_frac": (
+            nrc_aux["query_frac"] if (cfg.enable_gi and cfg.enable_nrc) else jnp.float32(0.0)
+        ),
     }
     return outputs, new_state
 
@@ -185,7 +187,7 @@ class Renderer:
                 pack_bvh_for_pallas,
             )
 
-            flat_bvh = build_bvh_fast(flat_scene.tri_pos)
+            flat_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_max_leaf)
             bvh = flat_bvh.device_arrays()
             if t_count > SINGLE_TABLE_MAX_TRIS:
                 # Sponza-class: VMEM-sized subtree chunks for the kernel.

@@ -38,10 +38,19 @@ class NRCConfig:
     ema: float = 0.99  # EMA of params used for rendering (paper trick)
 
 
+def make_optimizer(learning_rate: float):
+    """The cache optimizer: adam behind global-norm clipping.
+
+    HDR radiance targets occasionally spike (specular NEE through a grazing
+    GGX lobe); without clipping those spikes whiplash the adam moments and
+    the loss oscillates by 3 orders of magnitude frame to frame."""
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(learning_rate))
+
+
 def init_cache(seed: int, nrc_cfg: NRCConfig = NRCConfig()):
-    """Returns (params pytree, optimizer state, optimizer)."""
+    """Returns dict(params, ema_params, opt_state)."""
     params = init_mlp(jax.random.PRNGKey(seed), encoded_dim(), nrc_cfg.hidden, nrc_cfg.depth)
-    opt = optax.adam(nrc_cfg.learning_rate)
+    opt = make_optimizer(nrc_cfg.learning_rate)
     opt_state = opt.init(params)
     ema_params = jax.tree.map(lambda x: x, params)
     return {"params": params, "ema_params": ema_params, "opt_state": opt_state}

@@ -135,7 +135,8 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
     # Resolve: query radiance x prefix throughput (radiance_resolve.hlsl:24-32).
     pred = query_cache(cache_params, q["surf"], q["view"], scene["aabb_min"], scene["aabb_max"])
     acc = acc + jnp.where(q["set"][..., None], q["thr"] * pred, 0.0)
-    return acc, rng_state
+    aux = {"query_frac": q["set"].mean(), "alive_frac": alive.mean()}
+    return acc, rng_state, aux
 
 
 def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optimizer, cam, frame):

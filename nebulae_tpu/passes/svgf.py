@@ -71,26 +71,31 @@ def svgf_temporal(
     # meaningless (== eps right after a reset, which disables the a-trous
     # luminance edge-stop entirely), so estimate variance *spatially* from a
     # depth/normal-bilateral 7x7 neighborhood of the current moments.
-    mu1 = y
-    mu2 = y * y
+    # Separable bilateral (7h + 7v taps instead of 49): per-axis weight
+    # products approximate the full 2-D bilateral, which is plenty for a
+    # bootstrap variance estimate (it only gates the first ~4 frames).
     z0 = _finite_depth(depth)
-    sum_m1 = jnp.zeros_like(mu1)
-    sum_m2 = jnp.zeros_like(mu2)
-    sum_w = jnp.zeros_like(mu1)
-    for dy in range(-3, 4):
-        for dx in range(-3, 4):
-            m1 = _shift2d(mu1, dy, dx)
-            m2 = _shift2d(mu2, dy, dx)
-            z = _shift2d(z0, dy, dx)
-            n = _shift2d(normal, dy, dx)
-            wz = jnp.exp(-jnp.abs(z0 - z) / jnp.maximum(cfg.svgf_phi_depth * 3.0, 1e-6))
-            wn = jnp.clip((normal * n).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
+
+    def blur_axis(m1, m2, axis):
+        sum_m1 = jnp.zeros_like(m1)
+        sum_m2 = jnp.zeros_like(m2)
+        sum_w = jnp.zeros_like(m1)
+        for o in range(-3, 4):
+            dy, dx = (o, 0) if axis == 0 else (0, o)
+            wz = jnp.exp(
+                -jnp.abs(z0 - _shift2d(z0, dy, dx))
+                / jnp.maximum(cfg.svgf_phi_depth * 3.0, 1e-6)
+            )
+            wn = jnp.clip((normal * _shift2d(normal, dy, dx)).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
             ww = wz * wn
-            sum_m1 = sum_m1 + m1 * ww
-            sum_m2 = sum_m2 + m2 * ww
+            sum_m1 = sum_m1 + _shift2d(m1, dy, dx) * ww
+            sum_m2 = sum_m2 + _shift2d(m2, dy, dx) * ww
             sum_w = sum_w + ww
-    m1s = sum_m1 / jnp.maximum(sum_w, 1e-6)
-    m2s = sum_m2 / jnp.maximum(sum_w, 1e-6)
+        denom = jnp.maximum(sum_w, 1e-6)
+        return sum_m1 / denom, sum_m2 / denom
+
+    m1s, m2s = blur_axis(y, y * y, axis=1)
+    m1s, m2s = blur_axis(m1s, m2s, axis=0)
     var_spatial = jnp.maximum(m2s - m1s * m1s, cfg.svgf_variance_eps) * 4.0
     variance = jnp.where(new_histlen < 4.0, jnp.maximum(variance, var_spatial), variance)
 

@@ -92,7 +92,7 @@ def _gather_node(bvh, node):
     return lo, hi, first, count, skip
 
 
-def bvh_closest_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
+def bvh_closest_hit(o, d, bvh, tri_pos, t_max=jnp.inf, max_leaf: int = MAX_LEAF):
     """Stackless closest-hit. o, d: [N, 3]. bvh: FlatBVH.device_arrays().
 
     Hit records are in the *original* triangle numbering (tri_index applied).
@@ -129,8 +129,8 @@ def bvh_closest_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
         is_leaf = count > 0
         do_tris = box_hit & is_leaf
 
-        # Masked leaf triangle tests (static unroll over MAX_LEAF)
-        for k in range(MAX_LEAF):
+        # Masked leaf triangle tests (static unroll over max_leaf)
+        for k in range(max_leaf):
             in_range = do_tris & (k < count)
             tid = tri_index[jnp.clip(first + k, 0, t_count - 1)]
             tid = jnp.where(in_range, tid, 0)
@@ -151,7 +151,7 @@ def bvh_closest_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
     return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
 
 
-def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
+def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf, max_leaf: int = MAX_LEAF):
     """Stackless any-hit: lane retires (cursor -> N) on first hit."""
     n = o.shape[0]
     if tri_pos.shape[0] == 0:
@@ -180,7 +180,7 @@ def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf):
         is_leaf = count > 0
         do_tris = box_hit & is_leaf
         found = jnp.zeros(n, bool)
-        for k in range(MAX_LEAF):
+        for k in range(max_leaf):
             in_range = do_tris & (k < count)
             tid = tri_index[jnp.clip(first + k, 0, t_count - 1)]
             tid = jnp.where(in_range, tid, 0)
@@ -226,8 +226,8 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         any_hit = partial(bruteforce_any_hit, tri_pos=scene["tri_pos"])
     elif mode == "bvh":
         assert bvh is not None, "bvh arrays required for tracer='bvh'"
-        closest = partial(bvh_closest_hit, bvh=bvh, tri_pos=scene["tri_pos"])
-        any_hit = partial(bvh_any_hit, bvh=bvh, tri_pos=scene["tri_pos"])
+        closest = partial(bvh_closest_hit, bvh=bvh, tri_pos=scene["tri_pos"], max_leaf=cfg.bvh_max_leaf)
+        any_hit = partial(bvh_any_hit, bvh=bvh, tri_pos=scene["tri_pos"], max_leaf=cfg.bvh_max_leaf)
     elif mode == "pallas":
         from nebulae_tpu.kernels.pallas_trace import (
             pallas_any_chunks,
