@@ -25,44 +25,9 @@ from nebulae_tpu.core import math as nmath
 from nebulae_tpu.core import rng as nrng
 from nebulae_tpu.core.surface import reconstruct_surface
 from nebulae_tpu.nrc.cache import primary_spread, query_cache, spread_term, train_cache_step
-from nebulae_tpu.passes.gbuffer import detach
 from nebulae_tpu.passes.pathtrace import SURF_KEYS, _nee_direct
-from nebulae_tpu.tracer.sorting import DEAD_ORIGIN, ray_sort_key, sorted_closest
 
 PI = 3.14159265358979
-
-
-def _trace_bounce(scene, closest_fn, origin, direction, alive, cfg):
-    origin_b = jax.lax.stop_gradient(jnp.where(alive[..., None], origin, DEAD_ORIGIN))
-    d_b = jax.lax.stop_gradient(direction)
-    if cfg.sort_rays:
-        key = ray_sort_key(origin_b, d_b, scene["aabb_min"], scene["aabb_max"], alive)
-        return detach(sorted_closest(closest_fn, origin_b, d_b, key))
-    return detach(closest_fn(origin_b, d_b))
-
-
-def _indirect_step(scene, surf, alive, rng_state, closest_fn, cfg):
-    """Cosine bounce (2 draws) + trace. Returns (rng, new_surf, new_view,
-    found, weight, hit_t, cos_at_new, new_d)."""
-    rng_state, u1 = nrng.next_float(rng_state)
-    rng_state, u2 = nrng.next_float(rng_state)
-    new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], jnp)
-    weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
-    origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
-    hit = _trace_bounce(scene, closest_fn, origin, new_d, alive, cfg)
-    found = hit["tri"] >= 0
-    if cfg.fast_bounce_shading:
-        from nebulae_tpu.core.surface import reconstruct_surface_fast
-
-        surf_full = reconstruct_surface_fast(
-            scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], jnp
-        )
-    else:
-        surf_full = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
-    new_surf = {k: surf_full[k] for k in SURF_KEYS}
-    new_view = -new_d
-    cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], new_view)[..., 0], 1e-3, 1.0)
-    return rng_state, new_surf, new_view, found, weight, hit["t"], cos_new, new_d
 
 
 def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, cache_params):
@@ -87,17 +52,34 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
 
     def body(carry, _):
         rng_state, throughput, alive, acc, surf, view, spread, q = carry
-        direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
+
+        rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
+        vis, hit = nee_bounce_trace(scene, pre, alive, closest_fn, any_fn, cfg)
+        direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
-        rng_state, new_surf, new_view, found, weight, hit_t, cos_new, new_d = _indirect_step(
-            scene, surf, alive, rng_state, closest_fn, cfg
-        )
-        throughput = throughput * weight
+        new_d = pre["new_d"]
+        found = hit["tri"] >= 0
+        if cfg.fast_bounce_shading:
+            from nebulae_tpu.core.surface import reconstruct_surface_fast
+
+            surf_full = reconstruct_surface_fast(
+                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
+            )
+        else:
+            surf_full = reconstruct_surface(
+                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
+            )
+        new_surf = {k: surf_full[k] for k in SURF_KEYS}
+        cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
+        hit_t = hit["t"]
+
+        throughput = throughput * pre["weight"]
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
-        surf, view = new_surf, new_view
+        surf, view = new_surf, -new_d
 
         # Spread accumulation at the new vertex; pdf = cos/pi (cosine sampling).
         pdf = cos_new / PI
@@ -174,13 +156,28 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
 
     def body(carry, _):
         rng_state, alive, surf, view = carry
-        direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
+
+        rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
+        vis, hit = nee_bounce_trace(scene, pre, alive, closest_fn, any_fn, cfg)
+        direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         local = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
         rec_surf, rec_view, rec_alive = surf, view, alive
 
-        rng_state, new_surf, new_view, found, weight, _, _, new_d = _indirect_step(
-            scene, surf, alive, rng_state, closest_fn, cfg
-        )
+        new_d = pre["new_d"]
+        weight = pre["weight"]
+        found = hit["tri"] >= 0
+        if cfg.fast_bounce_shading:
+            from nebulae_tpu.core.surface import reconstruct_surface_fast
+
+            surf_full = reconstruct_surface_fast(
+                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
+            )
+        else:
+            surf_full = reconstruct_surface(
+                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
+            )
+        new_surf = {k: surf_full[k] for k in SURF_KEYS}
         # Sky closes the path: fold into this vertex's local target.
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         local = local + jnp.where((alive & ~found)[..., None], weight * sky, 0.0)
@@ -188,7 +185,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         alive = alive & found
         rec = vertex_record(rec_surf, rec_view, local, rec_alive)
         rec["w_after"] = w_after
-        return (rng_state, alive, new_surf, new_view), rec
+        return (rng_state, alive, new_surf, -new_d), rec
 
     carry = (rng_state, gbuf["hit"], surf0, gbuf["view"])
     if k_verts > 1:

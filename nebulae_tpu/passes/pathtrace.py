@@ -27,10 +27,59 @@ from nebulae_tpu.core import math as nmath
 from nebulae_tpu.core import rng as nrng
 from nebulae_tpu.core.surface import reconstruct_surface
 from nebulae_tpu.passes.gbuffer import detach
-from nebulae_tpu.tracer.sorting import DEAD_ORIGIN, ray_sort_key, sorted_any, sorted_closest
+from nebulae_tpu.tracer.sorting import (
+    DEAD_ORIGIN,
+    ray_sort_key,
+    sorted_any,
+    sorted_closest,
+    sorted_shadow_closest,
+)
 
 
 SURF_KEYS = ("position", "normal_g", "normal_s", "albedo", "roughness", "metalness", "emissive")
+
+
+def nee_bounce_draws(surf, view, sun, alive, rng_state):
+    """The 4 RNG draws + shading-side math of one path vertex: sun-disk NEE
+    direction/BRDF (2 draws) then cosine-hemisphere indirect (2 draws).
+    Draw order matches the CPU oracle contract.  No rays are traced here."""
+    rng_state, u1 = nrng.next_float(rng_state)
+    rng_state, u2 = nrng.next_float(rng_state)
+    l = brdf.sun_disk_sample(u1, u2, sun.direction[None, :], sun.tan_half_angle, jnp)
+    n_dot_l = jnp.clip(nmath.dot(surf["normal_s"], l)[..., 0], 0.0, 1.0)
+    f = brdf.eval_brdf(
+        surf["normal_s"], view, l, surf["albedo"], surf["roughness"], surf["metalness"], jnp
+    )
+    rng_state, u3 = nrng.next_float(rng_state)
+    rng_state, u4 = nrng.next_float(rng_state)
+    new_d = brdf.cosine_hemisphere_sample(u3, u4, surf["normal_s"], jnp)
+    weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
+    origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
+    shoot = alive & (n_dot_l > 0.0)
+    pre = {"l": l, "n_dot_l": n_dot_l, "f": f, "shoot": shoot,
+           "origin": origin, "new_d": new_d, "weight": weight}
+    return rng_state, pre
+
+
+def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
+    """Trace the vertex's shadow + bounce rays; one shared sort when
+    cfg.sort_rays.  Returns (vis [N], hit dict) in original ray order."""
+    origin = jax.lax.stop_gradient(pre["origin"])
+    l = jax.lax.stop_gradient(pre["l"])
+    b = jax.lax.stop_gradient(pre["new_d"])
+    if cfg.sort_rays:
+        key = ray_sort_key(origin, b, scene["aabb_min"], scene["aabb_max"], alive_bounce)
+        occ, hit = sorted_shadow_closest(
+            any_fn, closest_fn, origin, pre["shoot"], l, alive_bounce, b, key
+        )
+        hit = detach(hit)
+    else:
+        o_sh = jnp.where(pre["shoot"][..., None], origin, DEAD_ORIGIN)
+        occ = any_fn(o_sh, l)
+        o_b = jnp.where(alive_bounce[..., None], origin, DEAD_ORIGIN)
+        hit = detach(closest_fn(o_b, b))
+    vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
+    return vis, hit
 
 
 def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
@@ -74,28 +123,21 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
 
     def bounce_body(carry, _):
         rng_state, throughput, alive, acc, surf, view = carry
-        direct, rng_state = _nee_direct(
-            scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays
-        )
+        rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
+
+        new_throughput = throughput * pre["weight"]
+        alive_b = alive
+        if cfg.throughput_threshold > 0.0:
+            alive_b = alive_b & (new_throughput.max(axis=-1) > cfg.throughput_threshold)
+
+        # Shadow + bounce under one shared sort (sorted_shadow_closest).
+        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
+        direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
-        # --- indirect: cosine hemisphere (2 draws) ---
-        rng_state, u1 = nrng.next_float(rng_state)
-        rng_state, u2 = nrng.next_float(rng_state)
-        new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], jnp)
-        weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
-        throughput = throughput * weight
-        if cfg.throughput_threshold > 0.0:
-            alive = alive & (throughput.max(axis=-1) > cfg.throughput_threshold)
-
-        origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
-        origin_b = jax.lax.stop_gradient(jnp.where(alive[..., None], origin, DEAD_ORIGIN))
-        d_b = jax.lax.stop_gradient(new_d)
-        if cfg.sort_rays:
-            key = ray_sort_key(origin_b, d_b, scene["aabb_min"], scene["aabb_max"], alive)
-            hit = detach(sorted_closest(closest_fn, origin_b, d_b, key))
-        else:
-            hit = detach(closest_fn(origin_b, d_b))
+        throughput = new_throughput
+        alive = alive_b
+        new_d = pre["new_d"]
         found = hit["tri"] >= 0
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
@@ -104,7 +146,7 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
             from nebulae_tpu.core.surface import reconstruct_surface_fast
 
             surf_full = reconstruct_surface_fast(
-                scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], jnp
+                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
             )
         else:
             surf_full = reconstruct_surface(

@@ -83,3 +83,35 @@ def sorted_any(any_fn, o, d, key):
 
     out = sorted_trace(fn, o, d, key, ("occ",))
     return out["occ"] > 0
+
+
+def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key):
+    """Shadow + bounce trace under ONE shared sort permutation.
+
+    At a path vertex the NEE shadow ray and the indirect bounce ray share the
+    same origin, so one sort (keyed for the bounce ray: octant + origin
+    Morton) serves both -- shadow packets stay coherent under any
+    origin-local permutation because every shadow ray points at the sun disk.
+    Halves the per-bounce lax.sort rounds vs sorting each trace separately.
+
+    o [N,3] true origins; shoot [N] shadow-live mask; l [N,3] shadow dirs;
+    alive [N] bounce-live mask; b [N,3] bounce dirs.  Returns
+    (occluded [N], hit dict) in original ray order."""
+    n = o.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    (key_s, perm, shoot_s, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
+        (key, idx, shoot.astype(jnp.int32),
+         o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
+         b[:, 0], b[:, 1], b[:, 2]),
+        num_keys=1,
+    )
+    os = jnp.stack([ox, oy, oz], axis=-1)
+    alive_s = key_s != jnp.int32(0x7FFFFFFF)
+    o_shadow = jnp.where((shoot_s > 0)[:, None], os, DEAD_ORIGIN)
+    o_bounce = jnp.where(alive_s[:, None], os, DEAD_ORIGIN)
+    occ = any_fn(o_shadow, jnp.stack([lx, ly, lz], axis=-1)).astype(jnp.int32)
+    hit = closest_fn(o_bounce, jnp.stack([bx, by, bz], axis=-1))
+    _, occ_u, t, tri, u, v = jax.lax.sort(
+        (perm, occ, hit["t"], hit["tri"], hit["u"], hit["v"]), num_keys=1
+    )
+    return occ_u > 0, {"t": t, "tri": tri, "u": u, "v": v}

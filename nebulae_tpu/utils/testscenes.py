@@ -71,6 +71,40 @@ def _ground_plane(lo, hi, mat_id: int, y: float) -> np.ndarray:
     return quad
 
 
+def _append_flat_tris(
+    fs: FlatScene, tris: np.ndarray, normal, albedo, rough: float = 0.9,
+    metal: float = 0.0, emissive=(0.0, 0.0, 0.0)
+) -> None:
+    """Append untextured triangles [T, 3, 3] with one new lambertian-ish
+    material (normal may be [3] shared or [T, 3] per-face)."""
+    t = tris.shape[0]
+    nrm = np.asarray(normal, np.float32)
+    if nrm.ndim == 1:
+        nrm = np.tile(nrm, (t, 1))
+    mat_id = fs.num_materials
+    a = np.asarray(albedo, np.float32)
+    fs.tri_pos = np.concatenate([fs.tri_pos, tris.astype(np.float32)])
+    fs.tri_nrm = np.concatenate([fs.tri_nrm, np.repeat(nrm[:, None, :], 3, axis=1)])
+    fs.tri_uv = np.concatenate([fs.tri_uv, np.zeros((t, 3, 2), np.float32)])
+    fs.tri_tan = np.concatenate(
+        [fs.tri_tan, np.tile(np.array([1, 0, 0, 1], np.float32), (t, 3, 1))]
+    )
+    fs.tri_mat = np.concatenate([fs.tri_mat, np.full(t, mat_id, np.int32)])
+    fs.tri_face_nrm = np.concatenate([fs.tri_face_nrm, nrm])
+    fs.mat_base_color = np.concatenate([fs.mat_base_color, [[*a, 1.0]]]).astype(np.float32)
+    fs.mat_metallic = np.concatenate([fs.mat_metallic, [metal]]).astype(np.float32)
+    fs.mat_roughness = np.concatenate([fs.mat_roughness, [rough]]).astype(np.float32)
+    fs.mat_emissive = np.concatenate([fs.mat_emissive, [list(emissive)]]).astype(np.float32)
+    fs.mat_tex_ids = np.concatenate([fs.mat_tex_ids, [[-1, -1, -1, -1]]]).astype(np.int32)
+    fs.mat_flags = np.concatenate([fs.mat_flags, [0]]).astype(np.int32)
+    fs.mat_avg_albedo = np.concatenate([fs.mat_avg_albedo, [a]]).astype(np.float32)
+    fs.mat_avg_rough = np.concatenate([fs.mat_avg_rough, [rough]]).astype(np.float32)
+    fs.mat_avg_metal = np.concatenate([fs.mat_avg_metal, [metal]]).astype(np.float32)
+    fs.mat_avg_emissive = np.concatenate([fs.mat_avg_emissive, [list(emissive)]]).astype(np.float32)
+    fs.aabb_min = np.minimum(fs.aabb_min, tris.reshape(-1, 3).min(0).astype(np.float32))
+    fs.aabb_max = np.maximum(fs.aabb_max, tris.reshape(-1, 3).max(0).astype(np.float32))
+
+
 def helmet_field(nx: int = 4, nz: int = 4, spacing: float = 3.0, max_texture_dim: int | None = 1024) -> FlatScene:
     """Sponza-class benchmark scene: nx*nz DamagedHelmet instances + ground.
 
@@ -89,30 +123,48 @@ def helmet_field(nx: int = 4, nz: int = 4, spacing: float = 3.0, max_texture_dim
 
     # Ground plane with an extra lambertian material.
     plane = _ground_plane(fs.aabb_min, fs.aabb_max, fs.num_materials, float(fs.aabb_min[1]) - 0.2)
-    n_up = np.tile(np.array([0, 1, 0], np.float32), (2, 3, 1))
-    tan = np.tile(np.array([1, 0, 0, 1], np.float32), (2, 3, 1))
-    uv = np.zeros((2, 3, 2), np.float32)
-    fs.tri_pos = np.concatenate([fs.tri_pos, plane])
-    fs.tri_nrm = np.concatenate([fs.tri_nrm, n_up])
-    fs.tri_uv = np.concatenate([fs.tri_uv, uv])
-    fs.tri_tan = np.concatenate([fs.tri_tan, tan])
-    fs.tri_mat = np.concatenate([fs.tri_mat, np.full(2, fs.num_materials, np.int32)])
-    fs.tri_face_nrm = np.concatenate(
-        [fs.tri_face_nrm, np.tile(np.array([0, 1, 0], np.float32), (2, 1))]
-    )
-    fs.mat_base_color = np.concatenate([fs.mat_base_color, [[0.6, 0.6, 0.6, 1.0]]]).astype(np.float32)
-    fs.mat_metallic = np.concatenate([fs.mat_metallic, [0.0]]).astype(np.float32)
-    fs.mat_roughness = np.concatenate([fs.mat_roughness, [0.9]]).astype(np.float32)
-    fs.mat_emissive = np.concatenate([fs.mat_emissive, [[0, 0, 0]]]).astype(np.float32)
-    fs.mat_tex_ids = np.concatenate([fs.mat_tex_ids, [[-1, -1, -1, -1]]]).astype(np.int32)
-    fs.mat_flags = np.concatenate([fs.mat_flags, [0]]).astype(np.int32)
-    fs.mat_avg_albedo = np.concatenate([fs.mat_avg_albedo, [[0.6, 0.6, 0.6]]]).astype(np.float32)
-    fs.mat_avg_rough = np.concatenate([fs.mat_avg_rough, [0.9]]).astype(np.float32)
-    fs.mat_avg_metal = np.concatenate([fs.mat_avg_metal, [0.0]]).astype(np.float32)
-    fs.mat_avg_emissive = np.concatenate([fs.mat_avg_emissive, [[0, 0, 0]]]).astype(np.float32)
-    fs.aabb_min = np.minimum(fs.aabb_min, plane.reshape(-1, 3).min(0))
-    fs.aabb_max = np.maximum(fs.aabb_max, plane.reshape(-1, 3).max(0))
+    _append_flat_tris(fs, plane, [0, 1, 0], [0.6, 0.6, 0.6])
     return fs
+
+
+def helmet_atrium(nx: int = 3, nz: int = 3, spacing: float = 3.0, max_texture_dim: int | None = 1024) -> FlatScene:
+    """Interior (Sponza-atrium-like) variant: the helmet field enclosed by
+    four walls, open to the sky above.  Bounce rays mostly hit geometry, so
+    this is the workload where NRC cache termination pays off (qfrac high)
+    and multi-bounce GI is visible (colored wall bleed)."""
+    fs = helmet_field(nx, nz, spacing, max_texture_dim)
+    lo, hi = fs.aabb_min.copy(), fs.aabb_max.copy()
+    y0, y1 = float(lo[1]), float(hi[1]) + 0.6 * float(hi[1] - lo[1])
+    m = 0.04 * float(max(hi[0] - lo[0], hi[2] - lo[2]))
+    x0, x1, z0, z1 = float(lo[0]) - m, float(hi[0]) + m, float(lo[2]) - m, float(hi[2]) + m
+
+    def wall(a, b, c, d):
+        return np.array([[a, b, c], [a, c, d]], np.float32)
+
+    walls = [
+        (wall([x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0]), [0, 0, 1], [0.7, 0.7, 0.65]),
+        (wall([x1, y0, z1], [x0, y0, z1], [x0, y1, z1], [x1, y1, z1]), [0, 0, -1], [0.7, 0.7, 0.65]),
+        (wall([x0, y0, z1], [x0, y0, z0], [x0, y1, z0], [x0, y1, z1]), [1, 0, 0], [0.65, 0.2, 0.15]),
+        (wall([x1, y0, z0], [x1, y0, z1], [x1, y1, z1], [x1, y1, z0]), [-1, 0, 0], [0.15, 0.55, 0.2]),
+    ]
+    for tris, n, albedo in walls:
+        _append_flat_tris(fs, tris, n, albedo)
+    return fs
+
+
+def atrium_camera(fs: FlatScene, fov_y_deg: float = 60.0):
+    """Camera INSIDE the atrium walls, near a top corner looking across."""
+    from nebulae_tpu.core.camera import Camera
+
+    lo, hi = fs.aabb_min, fs.aabb_max
+    center = (lo + hi) * 0.5
+    ext = hi - lo
+    eye = np.array(
+        [center[0] + 0.38 * ext[0], lo[1] + 0.82 * ext[1], center[2] + 0.40 * ext[2]],
+        np.float32,
+    )
+    target = np.array([center[0] - 0.2 * ext[0], lo[1] + 0.25 * ext[1], center[2] - 0.25 * ext[2]], np.float32)
+    return Camera(eye=eye, target=target, fov_y_deg=fov_y_deg)
 
 
 def bench_camera(fs: FlatScene, fov_y_deg: float = 60.0):

@@ -98,3 +98,26 @@ def test_nrc_query_radiance_reasonable(cornell_scene, cornell_camera):
     img = np.asarray(out["hdr"])
     assert np.isfinite(img).all()
     assert img.max() < 100.0
+
+
+def test_nrc_interior_cache_engages():
+    """In an interior (atrium) scene the spread heuristic actually fires:
+    a meaningful fraction of paths terminate into the cache, training is
+    stable under the clipped optimizer, and the frame stays finite."""
+    from nebulae_tpu.engine.renderer import Renderer
+    from nebulae_tpu.utils.testscenes import atrium_camera, helmet_atrium
+
+    fs = helmet_atrium(1, 1, max_texture_dim=32)
+    cfg = RenderConfig(
+        width=24, height=24, max_bounces=4, enable_svgf=False, enable_tonemap=False,
+        enable_nrc=True, fast_bounce_shading=True, nrc_max_path_vertices=4,
+    )
+    r = Renderer(fs, cfg)
+    cam = atrium_camera(fs)
+    losses = []
+    for _ in range(8):
+        out = r.render(cam)
+        losses.append(float(out["nrc_loss"]))
+    assert np.isfinite(np.asarray(out["hdr"])).all()
+    assert float(out["nrc_query_frac"]) > 0.05, "interior scene must create cache queries"
+    assert np.isfinite(losses).all()

@@ -127,3 +127,31 @@ def test_pallas_dead_rays_miss(soup_setup):
     assert (np.asarray(out["tri"])[:128] == -1).all()
     occ = pallas_any_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
     assert not np.asarray(occ)[:128].any()
+
+
+def test_renderer_chunked_matches_single(cornell_scene, cornell_camera):
+    """Full Renderer parity: forced-chunk Pallas vs single-table Pallas."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh import build_bvh_fast
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_chunks, pack_bvh_for_pallas
+
+    fs = cornell_scene.flat
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas",
+    )
+    flat_bvh = build_bvh_fast(fs.tri_pos, max_leaf=cfg.bvh_max_leaf)
+
+    bvh1 = flat_bvh.device_arrays()
+    bvh1.update(pack_bvh_for_pallas(flat_bvh, fs.tri_pos))
+    img1 = np.asarray(Renderer(fs, cfg, bvh=bvh1).render(cornell_camera)["hdr"])
+
+    bvh2 = flat_bvh.device_arrays()
+    bvh2["chunks"] = pack_bvh_chunks(flat_bvh, fs.tri_pos, max_tris=8)
+    assert len(bvh2["chunks"]) >= 2
+    img2 = np.asarray(Renderer(fs, cfg, bvh=bvh2).render(cornell_camera)["hdr"])
+
+    np.testing.assert_allclose(img1, img2, rtol=1e-5, atol=1e-6)
