@@ -40,6 +40,9 @@ def main() -> None:
     cfg = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=bounces,
         enable_svgf=True, enable_tonemap=True, tracer="auto",
+        # Present-only outputs, like the reference's swapchain (debug targets
+        # are opt-in there too).
+        lean_outputs=True,
         # Production GI config: secondary bounces shade from face normals +
         # texture-averaged materials (tiny bias, no per-hit texture gathers).
         # The CPU oracle implements the identical fast path, so the allclose

@@ -52,6 +52,7 @@ class RenderConfig:
     svgf_phi_normal: float = 128.0
     svgf_phi_depth: float = 0.002
     svgf_atrous_passes: int = 4
+    svgf_pallas: bool = True  # fused Pallas stencils on TPU (XLA elsewhere)
     # Motion-vector temporal reprojection (beyond the reference, which skips
     # SVGF entirely while the camera moves)
     svgf_reproject: bool = True
@@ -61,6 +62,11 @@ class RenderConfig:
     nrc_self_training: bool = True
     nrc_learning_rate: float = 1e-2
     nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
+    # Production/present mode: emit only the displayable image (plus scalar
+    # diagnostics) from the jitted frame instead of every G-buffer/debug
+    # target -- the reference likewise presents only the backbuffer; debug
+    # UAVs are an opt-in (DeferredRenderer.cpp:1301-1361).
+    lean_outputs: bool = False
     # Tracer selection: "auto" | "bruteforce" | "bvh" | "pallas"
     tracer: str = "auto"
     # Sort bounce rays by (octant, origin-morton) before traversal -- restores

@@ -148,6 +148,14 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     new_state["reset_history"] = jnp.bool_(False)
 
     ldr = aces_tonemap(denoised) if cfg.enable_tonemap else denoised
+    if cfg.lean_outputs:
+        return {
+            "ldr": ldr,
+            "nrc_loss": nrc_loss,
+            "nrc_query_frac": (
+                nrc_aux["query_frac"] if (cfg.enable_gi and cfg.enable_nrc) else jnp.float32(0.0)
+            ),
+        }, new_state
     outputs = {
         "hdr": img,
         "denoised": denoised,

@@ -49,6 +49,12 @@ def render_loss(params, frozen_scene, bvh, cam, state, target, cfg: RenderConfig
     scene = dict(frozen_scene)
     scene.update({k: v for k, v in params.items() if k != "sun"})
     sun = params["sun"]
+    if cfg.lean_outputs:
+        # The loss needs the linear denoised/hdr image, not the presented ldr;
+        # XLA dead-code-eliminates the debug outputs under grad anyway.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, lean_outputs=False)
     out, new_state = render_frame(scene, bvh, sun, cam, state, cfg)
     img = out["denoised"] if cfg.enable_svgf else out["hdr"]
     loss = jnp.mean((img - target) ** 2)

@@ -103,12 +103,19 @@ def svgf_temporal(
     return accum, moments, variance, new_histlen
 
 
-def _shift2d(img, dy: int, dx: int):
-    """Shift with clamp-to-edge (the reference clamps tap coords)."""
+def _shift2d(img, dy: int, dx: int, mode: str = "edge"):
+    """Shift with clamp-to-edge (default) or zero padding."""
     h, w = img.shape[0], img.shape[1]
     pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [(0, 0)] * (img.ndim - 2)
-    padded = jnp.pad(img, pad, mode="edge")
+    padded = jnp.pad(img, pad, mode=mode) if mode == "edge" else jnp.pad(img, pad)
     return padded[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
+
+
+def _valid2d(shape, dy: int, dx: int):
+    """Mask of taps that fall inside the image for shift (dy, dx)."""
+    h, w = shape
+    ones = jnp.ones((h, w), jnp.float32)
+    return _shift2d(ones, dy, dx, mode="constant")
 
 
 def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
@@ -118,7 +125,12 @@ def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
     in radiance, so its VJP is just the transposed (mirrored) filter --
     cheap.  Differentiating *through* the weights would chain exp/pow
     gradients across 25 taps x 4 passes for no useful signal (the weights
-    are denoising heuristics, not physical quantities)."""
+    are denoising heuristics, not physical quantities).
+
+    Border semantics: out-of-image taps get zero weight (the normalization
+    absorbs them).  This deviates from the reference's clamp-to-edge taps
+    (svgf_atrous.hlsl ClampScreenCoord) in a <= 2*step px band, and matches
+    kernels/pallas_svgf.py exactly so both backends agree."""
     import jax
 
     lum0 = nmath.luminance(radiance, jnp)
@@ -132,24 +144,43 @@ def svgf_atrous_step(radiance, variance, depth, normal, step: int, cfg):
             c = _shift2d(radiance, dy * step, dx * step)
             z = _shift2d(z0, dy * step, dx * step)
             n = _shift2d(normal, dy * step, dx * step)
+            valid = _valid2d(radiance.shape[:2], dy * step, dx * step)
             lum = nmath.luminance(c, jnp)
             wz = jnp.exp(-jnp.abs(z0 - z) / (cfg.svgf_phi_depth * step))
             wn = jnp.clip((normal * n).sum(-1), 0.0, 1.0) ** cfg.svgf_phi_normal
             wl = jnp.exp(-jnp.abs(lum0 - lum) / var_scale)
-            w = jax.lax.stop_gradient(k * wz * wn * wl)
+            w = jax.lax.stop_gradient(k * wz * wn * wl * valid)
             sum_c = sum_c + c * w[..., None]
             sum_w = sum_w + w
     return sum_c / jnp.maximum(sum_w, 1e-4)[..., None]
+
+
+def _use_pallas_svgf(cfg):
+    import jax
+
+    return getattr(cfg, "svgf_pallas", True) and jax.default_backend() == "tpu"
 
 
 def svgf_atrous(radiance, variance, depth, normal, cfg):
     """Full a-trous cascade: passes with dilation 1, 2, 4, 8, ...
 
     Variance stays fixed across iterations (matches the reference host loop,
-    SVGFDenoiser.cpp:153-196, which never updates the variance texture)."""
+    SVGFDenoiser.cpp:153-196, which never updates the variance texture).
+    On TPU each iteration runs as one fused Pallas stencil
+    (kernels/pallas_svgf.py); elsewhere as the XLA shift/accumulate above
+    (identical math and border semantics)."""
+    if _use_pallas_svgf(cfg):
+        from nebulae_tpu.kernels.pallas_svgf import atrous_step_pallas as step_fn
+
+        def step_impl(out, s):
+            return step_fn(out, variance, depth, normal, s, cfg)
+    else:
+        def step_impl(out, s):
+            return svgf_atrous_step(out, variance, depth, normal, s, cfg)
+
     out = radiance
     for i in range(cfg.svgf_atrous_passes):
-        out = svgf_atrous_step(out, variance, depth, normal, 1 << i, cfg)
+        out = step_impl(out, 1 << i)
     return out
 
 
@@ -173,10 +204,14 @@ def _bilinear_history(img, x, y):
         imgc = img[..., None]
     else:
         imgc = img
-    c00 = imgc[y0i, x0i]
-    c01 = imgc[y0i, x1i]
-    c10 = imgc[y1i, x0i]
-    c11 = imgc[y1i, x1i]
+    # Flat 1-D indices lower to a single-operand gather (cheaper on TPU than
+    # the 2-operand [y, x] form).
+    flat = imgc.reshape(h * w, imgc.shape[-1])
+    shp = x0i.shape
+    c00 = jnp.take(flat, (y0i * w + x0i).reshape(-1), axis=0).reshape(*shp, -1)
+    c01 = jnp.take(flat, (y0i * w + x1i).reshape(-1), axis=0).reshape(*shp, -1)
+    c10 = jnp.take(flat, (y1i * w + x0i).reshape(-1), axis=0).reshape(*shp, -1)
+    c11 = jnp.take(flat, (y1i * w + x1i).reshape(-1), axis=0).reshape(*shp, -1)
     fx = fx[..., None]
     fy = fy[..., None]
     out = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
@@ -193,7 +228,12 @@ def reproject_history(history: dict, position, prev_viewproj, width: int, height
     weight off-screen.
 
     position [H, W, 3]; prev_viewproj [4, 4]. Returns (warped history dict,
-    valid [H, W])."""
+    valid [H, W]).
+
+    All history channels are stacked into one [H, W, 10] buffer before the
+    bilinear fetch so the 4 corner taps are 4 gathers total instead of 4 per
+    buffer: TPU gather cost is dominated by per-op overhead, not element
+    count (measured ~5x on the 1080p reproject)."""
     p = jnp.concatenate([position, jnp.ones(position.shape[:-1] + (1,), position.dtype)], -1)
     clip = p @ prev_viewproj.T
     w_c = clip[..., 3]
@@ -203,11 +243,22 @@ def reproject_history(history: dict, position, prev_viewproj, width: int, height
     y = (0.5 - ndc[..., 1] * 0.5) * height - 0.5
     in_front = w_c > 1e-8
 
-    rad, ib = _bilinear_history(history["radiance"], x, y)
-    dep, _ = _bilinear_history(history["depth"], x, y)
-    nrm, _ = _bilinear_history(history["normal"], x, y)
-    mom, _ = _bilinear_history(history["moments"], x, y)
-    hl, _ = _bilinear_history(history["histlen"], x, y)
+    stack = jnp.concatenate(
+        [
+            history["radiance"],
+            history["depth"][..., None],
+            history["normal"],
+            history["moments"],
+            history["histlen"][..., None],
+        ],
+        axis=-1,
+    )
+    warped_stack, ib = _bilinear_history(stack, x, y)
+    rad = warped_stack[..., 0:3]
+    dep = warped_stack[..., 3]
+    nrm = warped_stack[..., 4:7]
+    mom = warped_stack[..., 7:9]
+    hl = warped_stack[..., 9]
     if prev_eye is not None and current_depth is not None:
         # History depth is distance from the *previous* eye; re-express it so
         # the temporal compare (current_depth - warped_depth) measures the

@@ -190,3 +190,15 @@ def test_bvh_pipeline_matches_bruteforce(setup):
     np.testing.assert_allclose(
         np.asarray(out_bvh["hdr"]), np.asarray(out_bf["hdr"]), rtol=1e-4, atol=1e-5
     )
+
+def test_lean_outputs(setup):
+    """lean_outputs drops the debug targets but matches the full frame's ldr."""
+    scene_np, scene_jx, sun, sun_jx, camera = setup
+    mk = lambda lean: RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=True, enable_tonemap=True,
+        lean_outputs=lean,
+    )
+    full = _render_jax(scene_jx, sun_jx, camera, mk(False))
+    lean = _render_jax(scene_jx, sun_jx, camera, mk(True))
+    assert set(lean.keys()) == {"ldr", "nrc_loss", "nrc_query_frac"}
+    np.testing.assert_allclose(np.asarray(lean["ldr"]), np.asarray(full["ldr"]), atol=1e-6)
