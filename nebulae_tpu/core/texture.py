@@ -68,8 +68,18 @@ def sample_bilinear(textures, tex_hw, tex_id, uv, xp=None):
     x1 = wrap(x0 + 1, wi + 1)
     y1 = wrap(y0 + 1, hi + 1)
 
+    # Flat 1-D indices into [K*TH*TW, 4]: a single-operand gather lowers ~3x
+    # faster than the [tid, y, x] multi-operand form (measured 766 -> 252 ms
+    # for a 1080p 4-map bilinear fetch on v5e; stacking taps or maps into
+    # fewer, larger gathers is *slower* -- 388/476 ms).
+    k, th, tw = int(textures.shape[0]), int(textures.shape[1]), int(textures.shape[2])
+    flat = textures.reshape(k * th * tw, textures.shape[-1])
+    base = tid * (th * tw)
+
     def fetch(yy, xx):
-        return textures[tid, yy, xx].astype(xp.float32) / 255.0
+        shp = yy.shape
+        rows = xp.take(flat, (base + yy * tw + xx).reshape(-1), axis=0)
+        return rows.reshape(*shp, -1).astype(xp.float32) / 255.0
 
     c00 = fetch(y0, x0)
     c01 = fetch(y0, x1)

@@ -49,12 +49,17 @@ def render_loss(params, frozen_scene, bvh, cam, state, target, cfg: RenderConfig
     scene = dict(frozen_scene)
     scene.update({k: v for k, v in params.items() if k != "sun"})
     sun = params["sun"]
-    if cfg.lean_outputs:
-        # The loss needs the linear denoised/hdr image, not the presented ldr;
-        # XLA dead-code-eliminates the debug outputs under grad anyway.
+    if cfg.lean_outputs or cfg.svgf_pallas:
+        # lean_outputs: the loss needs the linear denoised/hdr image, not the
+        # presented ldr; XLA dead-code-eliminates debug outputs under grad.
+        # svgf_pallas: the fused stencil wins forward-only (77 vs 93 ms for
+        # the 1080p cascade on v5e) but its custom transposed-stencil VJP
+        # loses badly to XLA autodiff of the shift/accumulate form (192 vs
+        # 117 ms fwd+bwd) -- XLA fuses the forward and transpose passes
+        # across iterations.  Train differentiates, so it takes the XLA path.
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, lean_outputs=False)
+        cfg = dataclasses.replace(cfg, lean_outputs=False, svgf_pallas=False)
     out, new_state = render_frame(scene, bvh, sun, cam, state, cfg)
     img = out["denoised"] if cfg.enable_svgf else out["hdr"]
     loss = jnp.mean((img - target) ** 2)
