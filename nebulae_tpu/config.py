@@ -62,6 +62,12 @@ class RenderConfig:
     nrc_self_training: bool = True
     nrc_learning_rate: float = 1e-2
     nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
+    # NRC debug resolve modes, mirroring the reference's visual-inspection
+    # views (NrcStructures.h:186-245): None | "bounce_heatmap" (path vertex
+    # count) | "query_bounce" (bounce index of cache handoff, -1 = never) |
+    # "cache_view" (raw cache prediction at the primary vertex).  Adds an
+    # 'nrc_debug' buffer to the frame outputs (ignored under lean_outputs).
+    nrc_debug: str | None = None
     # Production/present mode: emit only the displayable image (plus scalar
     # diagnostics) from the jitted frame instead of every G-buffer/debug
     # target -- the reference likewise presents only the backbuffer; debug

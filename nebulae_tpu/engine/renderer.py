@@ -169,6 +169,26 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
             nrc_aux["query_frac"] if (cfg.enable_gi and cfg.enable_nrc) else jnp.float32(0.0)
         ),
     }
+    if cfg.nrc_debug is not None and cfg.enable_gi and cfg.enable_nrc:
+        # Debug resolve modes (NrcStructures.h:186-245 analogue); last-spp
+        # sample's counters.  Colorize host-side (utils.display.colorize_map).
+        if cfg.nrc_debug == "bounce_heatmap":
+            outputs["nrc_debug"] = nrc_aux["n_vert"].reshape(h, w)
+        elif cfg.nrc_debug == "query_bounce":
+            outputs["nrc_debug"] = nrc_aux["term_bounce"].reshape(h, w)
+        elif cfg.nrc_debug == "cache_view":
+            from nebulae_tpu.nrc.cache import query_cache
+
+            surf0 = {k: gbuf[k] for k in ("position", "normal_s", "albedo", "roughness", "metalness")}
+            pred = query_cache(
+                state["nrc"]["ema_params"], surf0, gbuf["view"],
+                scene["aabb_min"], scene["aabb_max"],
+            )
+            outputs["nrc_debug"] = jnp.where(
+                gbuf["hit"][..., None], pred, 0.0
+            ).reshape(h, w, 3)
+        else:
+            raise ValueError(f"unknown nrc_debug mode: {cfg.nrc_debug!r}")
     return outputs, new_state
 
 

@@ -50,8 +50,8 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         "thr": jnp.zeros((n_pix, 3), jnp.float32),
     }
 
-    def body(carry, _):
-        rng_state, throughput, alive, acc, surf, view, spread, q = carry
+    def body(carry, bounce_i):
+        rng_state, throughput, alive, acc, surf, view, spread, q, dbg = carry
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
@@ -95,9 +95,24 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
             "view": jnp.where(terminate[..., None], view, q["view"]),
             "thr": jnp.where(terminate[..., None], throughput, q["thr"]),
         }
+        # Debug counters (the reference's NRC debug resolve modes,
+        # NrcStructures.h:186-245): per-path vertex count and the bounce
+        # index where the path handed off to the cache (-1 = never).
+        dbg = {
+            "n_vert": dbg["n_vert"] + alive.astype(jnp.float32),
+            "term_bounce": jnp.where(
+                terminate & (dbg["term_bounce"] < 0),
+                jnp.float32(1.0) + bounce_i.astype(jnp.float32),
+                dbg["term_bounce"],
+            ),
+        }
         alive = alive & ~terminate
-        return (rng_state, throughput, alive, acc, surf, view, spread, q), None
+        return (rng_state, throughput, alive, acc, surf, view, spread, q, dbg), None
 
+    dbg0 = {
+        "n_vert": gbuf["hit"].astype(jnp.float32),  # primary vertex counts
+        "term_bounce": jnp.full(n_pix, -1.0, jnp.float32),
+    }
     carry = (
         rng_state,
         jnp.ones((n_pix, 3), jnp.float32),
@@ -107,17 +122,26 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         gbuf["view"],
         jnp.zeros(n_pix, jnp.float32),
         q0,
+        dbg0,
     )
     if cfg.max_bounces > 1:
-        carry, _ = jax.lax.scan(body, carry, None, length=cfg.max_bounces - 1)
-    rng_state, throughput, alive, acc, surf, view, spread, q = carry
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(cfg.max_bounces - 1, dtype=jnp.int32)
+        )
+    rng_state, throughput, alive, acc, surf, view, spread, q, dbg = carry
     direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
     acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
     # Resolve: query radiance x prefix throughput (radiance_resolve.hlsl:24-32).
     pred = query_cache(cache_params, q["surf"], q["view"], scene["aabb_min"], scene["aabb_max"])
     acc = acc + jnp.where(q["set"][..., None], q["thr"] * pred, 0.0)
-    aux = {"query_frac": q["set"].mean(), "alive_frac": alive.mean()}
+    aux = {
+        "query_frac": q["set"].mean(),
+        "alive_frac": alive.mean(),
+        "n_vert": dbg["n_vert"],
+        "term_bounce": dbg["term_bounce"],
+        "query_set": q["set"],
+    }
     return acc, rng_state, aux
 
 

@@ -22,6 +22,31 @@ def ldr_to_srgb_u8(ldr) -> np.ndarray:
     return (img * 255.0 + 0.5).astype(np.uint8)
 
 
+def colorize_map(values, vmin: float | None = None, vmax: float | None = None) -> np.ndarray:
+    """Scalar [H, W] debug buffer -> heat-map RGB u8 (dark blue -> yellow).
+
+    Presentation aid for the NRC debug resolve modes (bounce heat-maps etc.,
+    mirroring the reference's debug views, NrcStructures.h:186-245).
+    Negative sentinel values (-1 = "never") render black."""
+    v = np.asarray(values, np.float32)
+    neg = v < 0.0
+    if vmin is None:
+        vmin = float(v[~neg].min()) if (~neg).any() else 0.0
+    if vmax is None:
+        vmax = float(v.max())
+    t = np.clip((v - vmin) / max(vmax - vmin, 1e-6), 0.0, 1.0)
+    # simple 3-stop ramp: (0.05,0.03,0.3) -> (0.9,0.2,0.1) -> (1,0.95,0.2)
+    lo = np.array([0.05, 0.03, 0.30], np.float32)
+    mid = np.array([0.90, 0.20, 0.10], np.float32)
+    hi = np.array([1.00, 0.95, 0.20], np.float32)
+    a = np.clip(t * 2.0, 0.0, 1.0)[..., None]
+    b = np.clip(t * 2.0 - 1.0, 0.0, 1.0)[..., None]
+    rgb = lo * (1 - a) + mid * a
+    rgb = rgb * (1 - b) + hi * b
+    rgb[neg] = 0.0
+    return (rgb * 255.0 + 0.5).astype(np.uint8)
+
+
 class FrameWriter:
     """Async PNG/NPY frame sink ("present" without a window)."""
 

@@ -121,3 +121,33 @@ def test_nrc_interior_cache_engages():
     assert np.isfinite(np.asarray(out["hdr"])).all()
     assert float(out["nrc_query_frac"]) > 0.05, "interior scene must create cache queries"
     assert np.isfinite(losses).all()
+
+
+def test_nrc_debug_views():
+    """Debug resolve modes produce sane buffers (bounce counts bounded by
+    max_bounces, query_bounce in {-1} U [1, bounces), cache_view finite)."""
+    from nebulae_tpu.engine.renderer import Renderer
+    from nebulae_tpu.utils.testscenes import atrium_camera, helmet_atrium
+    from nebulae_tpu.utils.display import colorize_map
+
+    fs = helmet_atrium(1, 1, max_texture_dim=32)
+    cam = atrium_camera(fs)
+    base = dict(
+        width=16, height=16, max_bounces=3, enable_svgf=False, enable_tonemap=False,
+        enable_nrc=True, fast_bounce_shading=True, nrc_max_path_vertices=3,
+    )
+    out = Renderer(fs, RenderConfig(**base, nrc_debug="bounce_heatmap")).render(cam)
+    nv = np.asarray(out["nrc_debug"])
+    assert nv.shape == (16, 16)
+    assert (nv >= 0).all() and (nv <= base["max_bounces"]).all()
+    assert nv.max() >= 1.0  # something got hit in the atrium
+
+    out = Renderer(fs, RenderConfig(**base, nrc_debug="query_bounce")).render(cam)
+    tb = np.asarray(out["nrc_debug"])
+    assert ((tb == -1.0) | ((tb >= 1.0) & (tb < base["max_bounces"]))).all()
+    rgb = colorize_map(tb)
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+
+    out = Renderer(fs, RenderConfig(**base, nrc_debug="cache_view")).render(cam)
+    cv = np.asarray(out["nrc_debug"])
+    assert cv.shape == (16, 16, 3) and np.isfinite(cv).all()
