@@ -62,6 +62,13 @@ class RenderConfig:
     nrc_self_training: bool = True
     nrc_learning_rate: float = 1e-2
     nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
+    # Training-path termination (Nrc.hlsli:410): training paths also stop by
+    # the spread heuristic, handing their suffix to a self-training cache
+    # query -- except a pseudorandom "unbiased" subset traced to full length
+    # (NrcCommon.h:281-282, proportionUnbiased = 1/16), which anchors the
+    # cache against self-training feedback collapse.
+    nrc_train_terminate_threshold: float = 0.01
+    nrc_unbiased_fraction: float = 0.0625
     # NRC debug resolve modes, mirroring the reference's visual-inspection
     # views (NrcStructures.h:186-245): None | "bounce_heatmap" (path vertex
     # count) | "query_bounce" (bounce index of cache handoff, -1 = never) |

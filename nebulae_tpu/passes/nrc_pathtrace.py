@@ -178,8 +178,17 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
             "alive": alive.astype(jnp.float32),
         }
 
+    # Unbiased-path lottery (Nrc.hlsli:301-303): a pseudorandom 1/16 of the
+    # training paths are never heuristic-terminated, anchoring the cache with
+    # full-length targets.  Spread tracking mirrors the query pass.
+    rng_state, u_lot = nrng.next_float(rng_state)
+    unbiased = u_lot < cfg.nrc_unbiased_fraction
+    cos0 = jnp.clip(nmath.dot(surf0["normal_s"], gbuf["view"])[..., 0], 1e-3, 1.0)
+    spread0 = primary_spread(gbuf["depth"], cos0)
+    spread0 = jnp.where(jnp.isfinite(spread0), spread0, 0.0)
+
     def body(carry, _):
-        rng_state, alive, surf, view = carry
+        rng_state, alive, surf, view, spread = carry
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
@@ -205,18 +214,36 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         # Sky closes the path: fold into this vertex's local target.
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         local = local + jnp.where((alive & ~found)[..., None], weight * sky, 0.0)
-        w_after = jnp.where((alive & found)[..., None], weight, 0.0)
-        alive = alive & found
+
+        # Training termination heuristic (Nrc.hlsli:410): when the cumulative
+        # spread at the new vertex exceeds the threshold (and the path is not
+        # unbiased), the suffix becomes a self-training cache query at that
+        # vertex -- folded into this record's target exactly like the sky.
+        cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
+        pdf = cos_new / PI
+        spread = spread + spread_term(hit["t"], cos_new, pdf)
+        term = (
+            alive & found & ~unbiased
+            & (spread > cfg.nrc_train_terminate_threshold * spread0)
+        )
+        if cfg.nrc_self_training:
+            pred = query_cache(
+                jax.lax.stop_gradient(cache_state["ema_params"]), new_surf, -new_d,
+                scene["aabb_min"], scene["aabb_max"],
+            )
+            local = local + jnp.where(term[..., None], weight * pred, 0.0)
+        alive = alive & found & ~term
+        w_after = jnp.where(alive[..., None], weight, 0.0)
         rec = vertex_record(rec_surf, rec_view, local, rec_alive)
         rec["w_after"] = w_after
-        return (rng_state, alive, new_surf, -new_d), rec
+        return (rng_state, alive, new_surf, -new_d, spread), rec
 
-    carry = (rng_state, gbuf["hit"], surf0, gbuf["view"])
+    carry = (rng_state, gbuf["hit"], surf0, gbuf["view"], jnp.zeros(n_pix, jnp.float32))
     if k_verts > 1:
         carry, recs = jax.lax.scan(body, carry, None, length=k_verts - 1)
     else:
         recs = None
-    rng_state, alive, surf, view = carry
+    rng_state, alive, surf, view, _spread = carry
 
     # Final vertex: NEE only; its suffix is the self-training tail query.
     direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)

@@ -151,3 +151,24 @@ def test_nrc_debug_views():
     out = Renderer(fs, RenderConfig(**base, nrc_debug="cache_view")).render(cam)
     cv = np.asarray(out["nrc_debug"])
     assert cv.shape == (16, 16, 3) and np.isfinite(cv).all()
+
+
+def test_nrc_training_termination_stable():
+    """Training-path spread termination + unbiased lottery: loss stays finite
+    and the cache still engages with aggressive training termination."""
+    from nebulae_tpu.engine.renderer import Renderer
+    from nebulae_tpu.utils.testscenes import atrium_camera, helmet_atrium
+
+    fs = helmet_atrium(1, 1, max_texture_dim=32)
+    cam = atrium_camera(fs)
+    cfg = RenderConfig(
+        width=24, height=24, max_bounces=4, enable_svgf=False, enable_tonemap=False,
+        enable_nrc=True, fast_bounce_shading=True, nrc_max_path_vertices=4,
+        nrc_train_terminate_threshold=1e-6,  # terminate almost immediately
+    )
+    r = Renderer(fs, cfg)
+    losses = [float(r.render(cam)["nrc_loss"]) for _ in range(6)]
+    assert np.isfinite(losses).all()
+    out = r.render(cam)
+    assert np.isfinite(np.asarray(out["hdr"])).all()
+    assert float(out["nrc_query_frac"]) > 0.05
