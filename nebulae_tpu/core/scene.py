@@ -66,6 +66,11 @@ class FlatScene:
     # texture stack
     textures: np.ndarray  # [K, TH, TW, 4] u8 (K may be 0)
     tex_hw: np.ndarray  # [K, 2] i32 actual (h, w)
+    # packed per-material atlas (albedo | rough | metal | normal | emissive):
+    # one 12-byte row per texel so the material fetch is 4 gathers, not 16
+    mat_tex: np.ndarray  # [A, AH, AW, 12] u8
+    mat_tex_hw: np.ndarray  # [A, 2] i32
+    mat_atlas_id: np.ndarray  # [M] i32
     # bounds
     aabb_min: np.ndarray  # [3]
     aabb_max: np.ndarray  # [3]
@@ -99,6 +104,9 @@ class FlatScene:
             "mat_avg_emissive": self.mat_avg_emissive,
             "textures": self.textures,
             "tex_hw": self.tex_hw,
+            "mat_tex": self.mat_tex,
+            "mat_tex_hw": self.mat_tex_hw,
+            "mat_atlas_id": self.mat_atlas_id,
             "aabb_min": self.aabb_min,
             "aabb_max": self.aabb_max,
         }
@@ -163,6 +171,90 @@ def _pack_textures(images: list[np.ndarray], max_dim: int | None = None):
         stack[k, : img.shape[0], : img.shape[1]] = img
         hw[k] = img.shape[:2]
     return stack, hw
+
+
+def _resize_map(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    import cv2
+
+    interp = cv2.INTER_AREA if (img.shape[0] > h or img.shape[1] > w) else cv2.INTER_LINEAR
+    out = cv2.resize(img, (w, h), interpolation=interp)
+    if out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+def _pack_material_atlas(mats, images, max_dim: int | None):
+    """Combine each material's maps into ONE 12-channel texel array.
+
+    All of a material's maps are sampled at the same UV, so pre-packing them
+    (albedo.rgb | roughness | metallic | normal.xyz | emissive.rgb | pad)
+    turns the 16-gather bilinear material fetch (4 maps x 4 taps) into 4
+    gathers of 12-byte rows: TPU gather cost is per-row, not per-byte
+    (measured 252 ms for the 16-gather form vs ~75 ms packed at 1080p).
+    Maps smaller than the material's atlas resolution are upsampled once at
+    load; absent maps fill with neutral values so the material factors pass
+    through unchanged (white albedo/roughness/metallic/emissive, flat
+    normal).  Materials sharing the same map set share one atlas slot.
+
+    Returns (atlas [A, AH, AW, 12] u8, atlas_hw [A, 2] i32,
+    mat_atlas_id [M] i32)."""
+    m = len(mats)
+    if m == 0:
+        return (
+            np.zeros((1, 1, 1, 12), np.uint8),
+            np.ones((1, 2), np.int32),
+            np.zeros((0,), np.int32),
+        )
+
+    def capped(shape):
+        h, w = int(shape[0]), int(shape[1])
+        if max_dim is not None and max(h, w) > max_dim:
+            s = max_dim / max(h, w)
+            h, w = max(1, int(h * s)), max(1, int(w * s))
+        return h, w
+
+    slot_of: dict[tuple, int] = {}
+    slots = []
+    mat_aid = np.zeros(m, np.int32)
+    for i, md in enumerate(mats):
+        ids = (md.base_color_tex, md.metallic_roughness_tex, md.normal_tex, md.emissive_tex)
+        key = tuple(t if 0 <= t < len(images) else -1 for t in ids)
+        if key not in slot_of:
+            slot_of[key] = len(slots)
+            slots.append(key)
+        mat_aid[i] = slot_of[key]
+
+    packed = []
+    for key in slots:
+        bc, mr, nm, em = key
+        h = w = 1
+        for t in key:
+            if t >= 0:
+                th, tw = capped(images[t].shape[:2])
+                h, w = max(h, th), max(w, tw)
+        px = np.empty((h, w, 12), np.uint8)
+        px[..., 0:3] = _resize_map(images[bc], h, w)[..., :3] if bc >= 0 else 255
+        if mr >= 0:
+            mrm = _resize_map(images[mr], h, w)
+            px[..., 3] = mrm[..., 1]  # roughness = G
+            px[..., 4] = mrm[..., 2]  # metallic = B
+        else:
+            px[..., 3:5] = 255
+        px[..., 5:8] = _resize_map(images[nm], h, w)[..., :3] if nm >= 0 else (128, 128, 255)
+        px[..., 8:11] = _resize_map(images[em], h, w)[..., :3] if em >= 0 else 255
+        px[..., 11] = 0
+        packed.append(px)
+
+    ah = max(p.shape[0] for p in packed)
+    aw = max(p.shape[1] for p in packed)
+    atlas = np.zeros((len(packed), ah, aw, 12), np.uint8)
+    hw = np.zeros((len(packed), 2), np.int32)
+    for a, p in enumerate(packed):
+        atlas[a, : p.shape[0], : p.shape[1]] = p
+        hw[a] = p.shape[:2]
+    return atlas, hw, mat_aid
 
 
 def _average_material_tables(mats, images, base, metal, rough, emis):
@@ -238,6 +330,9 @@ def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatS
 
     base, metal, rough, emis, tex, flags = _pack_materials(asset.materials)
     textures, tex_hw = _pack_textures(asset.images, max_texture_dim)
+    mat_tex, mat_tex_hw, mat_atlas_id = _pack_material_atlas(
+        asset.materials, asset.images, max_texture_dim
+    )
     avg_albedo, avg_rough, avg_metal, avg_emissive = _average_material_tables(
         asset.materials, asset.images, base, metal, rough, emis
     )
@@ -261,6 +356,9 @@ def flatten_asset(asset: GLTFAsset, max_texture_dim: int | None = None) -> FlatS
         mat_avg_emissive=avg_emissive,
         textures=textures,
         tex_hw=tex_hw,
+        mat_tex=mat_tex,
+        mat_tex_hw=mat_tex_hw,
+        mat_atlas_id=mat_atlas_id,
         aabb_min=asset.aabb_min.astype(np.float32),
         aabb_max=asset.aabb_max.astype(np.float32),
     )

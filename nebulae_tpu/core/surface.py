@@ -101,7 +101,33 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
     emissive = fetch_rows(scene["mat_emissive"], mat, xp)
 
     albedo = base[..., :3]
-    if scene["textures"].shape[0] > 0:
+    use_atlas = "mat_tex" in scene and scene["mat_tex"].shape[0] > 0 and (
+        scene["textures"].shape[0] > 0
+    )
+    if use_atlas:
+        # Packed-atlas fetch: ONE 4-tap bilinear sample yields all material
+        # maps (scene._pack_material_atlas).  Absent maps hold neutral texels
+        # so the factor-multiply below reproduces the per-flag select of the
+        # legacy path exactly.
+        aid = scene["mat_atlas_id"][mat]
+        px = sample_bilinear(
+            _stopgrad(scene["mat_tex"], xp), scene["mat_tex_hw"], aid, uv, xp
+        )
+        albedo = albedo * srgb_to_linear(px[..., 0:3])
+        rough = rough * px[..., 3]
+        metal = metal * px[..., 4]
+        emissive = emissive * srgb_to_linear(px[..., 8:11])
+        has_nm = (flags & MAT_HAS_NORMAL_TEX) != 0
+        tn = px[..., 5:8] * 2.0 - 1.0
+        tangent = nmath.normalize(
+            tan4[..., :3] - nrm * nmath.dot(tan4[..., :3], nrm)
+        )
+        bitangent = nmath.cross(nrm, tangent) * tan4[..., 3:4]
+        mapped = nmath.normalize(
+            tn[..., 0:1] * tangent + tn[..., 1:2] * bitangent + tn[..., 2:3] * nrm
+        )
+        ns = xp.where(has_nm[..., None], mapped, nrm)
+    elif scene["textures"].shape[0] > 0:
         textures = _stopgrad(scene["textures"], xp)
         tex_ids = scene["mat_tex_ids"][mat]
         bc = sample_bilinear(textures, scene["tex_hw"], tex_ids[..., 0], uv, xp)

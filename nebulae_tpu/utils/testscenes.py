@@ -43,6 +43,9 @@ def _concat_scene(parts: list[FlatScene]) -> FlatScene:
         mat_flags=base.mat_flags,
         textures=base.textures,
         tex_hw=base.tex_hw,
+        mat_tex=base.mat_tex,
+        mat_tex_hw=base.mat_tex_hw,
+        mat_atlas_id=base.mat_atlas_id,
         aabb_min=np.min([p.aabb_min for p in parts], axis=0),
         aabb_max=np.max([p.aabb_max for p in parts], axis=0),
     )
@@ -97,6 +100,13 @@ def _append_flat_tris(
     fs.mat_emissive = np.concatenate([fs.mat_emissive, [list(emissive)]]).astype(np.float32)
     fs.mat_tex_ids = np.concatenate([fs.mat_tex_ids, [[-1, -1, -1, -1]]]).astype(np.int32)
     fs.mat_flags = np.concatenate([fs.mat_flags, [0]]).astype(np.int32)
+    # Untextured material -> a neutral atlas slot (factors pass through).
+    a_idx = fs.mat_tex.shape[0]
+    neutral = np.zeros((1,) + fs.mat_tex.shape[1:], np.uint8)
+    neutral[0, 0, 0] = [255, 255, 255, 255, 255, 128, 128, 255, 255, 255, 255, 0]
+    fs.mat_tex = np.concatenate([fs.mat_tex, neutral])
+    fs.mat_tex_hw = np.concatenate([fs.mat_tex_hw, [[1, 1]]]).astype(np.int32)
+    fs.mat_atlas_id = np.concatenate([fs.mat_atlas_id, [a_idx]]).astype(np.int32)
     fs.mat_avg_albedo = np.concatenate([fs.mat_avg_albedo, [a]]).astype(np.float32)
     fs.mat_avg_rough = np.concatenate([fs.mat_avg_rough, [rough]]).astype(np.float32)
     fs.mat_avg_metal = np.concatenate([fs.mat_avg_metal, [metal]]).astype(np.float32)
