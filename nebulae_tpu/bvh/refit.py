@@ -73,6 +73,28 @@ def refit_bvh(bvh_dev: dict, tri_pos, levels: list[np.ndarray], max_leaf: int = 
     return lo, hi
 
 
+def repack_pallas_fat_bounds(fatnodes, node_lo, node_hi, inner_idx, node_right):
+    """Write refitted bounds into a fat-node table [Nb, 16, 128]
+    (kernels.pallas_trace.pack_bvh_fat layout): each inner node's row holds
+    BOTH children's AABBs.  `inner_idx` / `node_right` are the host-static
+    FlatBVH arrays (fat lane i = i-th inner node in pre-order)."""
+    inner_idx = np.asarray(inner_idx)
+    node_right = np.asarray(node_right)
+    nb, rows, lanes = fatnodes.shape
+    ni = inner_idx.shape[0]
+    left = inner_idx + 1
+    right = node_right[inner_idx]
+    flat = jnp.transpose(fatnodes, (0, 2, 1)).reshape(nb * lanes, rows)
+    bounds = jnp.concatenate(
+        [node_lo[left], node_hi[left], node_lo[right], node_hi[right]], axis=1
+    )
+    pad = nb * lanes - ni
+    if pad:
+        bounds = jnp.concatenate([bounds, jnp.zeros((pad, 12), jnp.float32)])
+    flat = flat.at[:, 0:12].set(bounds)
+    return jnp.transpose(flat.reshape(nb, lanes, rows), (0, 2, 1))
+
+
 def repack_pallas_bounds(packed_nodes, node_lo, node_hi):
     """Write refitted bounds into the lane-packed Pallas node table
     [Nb, 8, 128] (kernels.pallas_trace layout), keeping metadata rows."""

@@ -84,8 +84,18 @@ class FlatScene:
         return int(self.mat_base_color.shape[0])
 
     def device_arrays(self) -> dict:
-        """The pytree of arrays kernels consume (excludes host-only metadata)."""
+        """The pytree of arrays kernels consume (excludes host-only metadata).
+
+        Packed per-triangle shading rows (tri_geom/tri_fast) are derived here
+        so scenes assembled or mutated by hand (utils.testscenes) stay
+        consistent with the attribute tables."""
+        tri_geom, tri_fast = pack_geometry_rows(
+            self.tri_pos, self.tri_nrm, self.tri_uv, self.tri_tan, self.tri_mat,
+            self.tri_face_nrm, self.mat_flags, self.mat_atlas_id,
+        )
         return {
+            "tri_geom": tri_geom,
+            "tri_fast": tri_fast,
             "tri_pos": self.tri_pos,
             "tri_nrm": self.tri_nrm,
             "tri_uv": self.tri_uv,
@@ -286,6 +296,48 @@ def _average_material_tables(mats, images, base, metal, rough, emis):
         np.clip(avg_metal, 0.0, 1.0).astype(np.float32),
         avg_emissive.astype(np.float32),
     )
+
+
+def pack_geometry_rows(
+    tri_pos, tri_nrm, tri_uv, tri_tan, tri_mat, tri_face_nrm, mat_flags, mat_atlas_id
+):
+    """Per-triangle packed shading rows: ONE wide-row gather per ray replaces
+    the ~6 separate per-ray gathers of surface reconstruction (gather cost on
+    TPU is per fetched row, nearly independent of row width up to ~40 f32 --
+    measured 179 ms -> 85 ms per 2M-ray full reconstruct, 86 -> 61 ms fast).
+
+    tri_geom [T, 39] f32: v0(0:3) e1(3:6) e2(6:9) nrm corners(9:18)
+        uv corners(18:24) tan corners(24:36) mat(36) flags(37) atlas_id(38).
+        Small ints ride exactly in f32 (< 2^24).
+    tri_fast [T, 13] f32: nrm corners(0:9) face normal(9:12) mat(12).
+    """
+    t = tri_pos.shape[0]
+    if t == 0:
+        return np.zeros((0, 39), np.float32), np.zeros((0, 13), np.float32)
+    v0 = tri_pos[:, 0]
+    matf = tri_mat.astype(np.float32)
+    flagsf = mat_flags[tri_mat].astype(np.float32) if mat_flags.shape[0] else np.zeros(t, np.float32)
+    aidf = (
+        mat_atlas_id[tri_mat].astype(np.float32) if mat_atlas_id.shape[0] else np.zeros(t, np.float32)
+    )
+    tri_geom = np.concatenate(
+        [
+            v0,
+            tri_pos[:, 1] - v0,
+            tri_pos[:, 2] - v0,
+            tri_nrm.reshape(t, 9),
+            tri_uv.reshape(t, 6),
+            tri_tan.reshape(t, 12),
+            matf[:, None],
+            flagsf[:, None],
+            aidf[:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    tri_fast = np.concatenate(
+        [tri_nrm.reshape(t, 9), tri_face_nrm, matf[:, None]], axis=1
+    ).astype(np.float32)
+    return tri_geom, tri_fast
 
 
 def face_normals(tri_pos: np.ndarray, tri_nrm: np.ndarray) -> np.ndarray:

@@ -59,6 +59,30 @@ def fetch_rows(table, idx, xp):
     )
 
 
+def _take_rows(table, idx, xp):
+    """Non-differentiable wide-row gather (geometry tables)."""
+    t = _stopgrad(table, xp)
+    if xp is np:
+        return t[idx]
+    import jax.numpy as jnp
+
+    return jnp.take(t, idx, axis=0)
+
+
+def _bary_packed(rows, u, v, c, xp):
+    """Barycentric lerp of a packed corner slice [..., 3*c] -> [..., c]."""
+    a = rows.reshape(rows.shape[:-1] + (3, c))
+    w = (1.0 - u - v)[..., None]
+    return a[..., 0, :] * w + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None]
+
+
+def _f32_int(col, xp):
+    """Exact small integer carried in an f32 channel -> int32."""
+    if xp is np:
+        return np.rint(col).astype(np.int32)
+    return xp.round(col).astype(xp.int32)
+
+
 def interpolate(attr, tri_id, u, v, xp):
     """Barycentric interpolation of a per-corner attribute [T, 3, C].
 
@@ -78,22 +102,37 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
     """
     xp = xp or _xp(u)
     t = xp.clip(tri_id, 0, scene["tri_pos"].shape[0] - 1)
-    pos = interpolate(scene["tri_pos"], t, u, v, xp)
-    nrm = nmath.normalize(interpolate(scene["tri_nrm"], t, u, v, xp))
-    uv = interpolate(scene["tri_uv"], t, u, v, xp)
-    tan4 = interpolate(scene["tri_tan"], t, u, v, xp)
+    packed = "tri_geom" in scene and scene["tri_geom"].shape[0] > 0
+    if packed:
+        # One wide-row gather for every geometry attribute + material ids
+        # (scene.pack_geometry_rows); gather cost is per row, so this is ~2x
+        # faster than the per-attribute fetches below.
+        row = _take_rows(scene["tri_geom"], t, xp)
+        v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        pos = v0 + u[..., None] * e1 + v[..., None] * e2
+        nrm = nmath.normalize(_bary_packed(row[..., 9:18], u, v, 3, xp))
+        uv = _bary_packed(row[..., 18:24], u, v, 2, xp)
+        tan4 = _bary_packed(row[..., 24:36], u, v, 4, xp)
+        mat = _f32_int(row[..., 36], xp)
+        flags = _f32_int(row[..., 37], xp)
+        atlas_id = _f32_int(row[..., 38], xp)
+    else:
+        pos = interpolate(scene["tri_pos"], t, u, v, xp)
+        nrm = nmath.normalize(interpolate(scene["tri_nrm"], t, u, v, xp))
+        uv = interpolate(scene["tri_uv"], t, u, v, xp)
+        tan4 = interpolate(scene["tri_tan"], t, u, v, xp)
+        tp = _stopgrad(scene["tri_pos"], xp)
+        v0 = tp[t, 0]
+        e1 = tp[t, 1] - v0
+        e2 = tp[t, 2] - v0
+        mat = scene["tri_mat"][t]
+        flags = scene["mat_flags"][mat]
+        atlas_id = None
 
-    # Geometric normal from the triangle plane
-    tp = _stopgrad(scene["tri_pos"], xp)
-    v0 = tp[t, 0]
-    e1 = tp[t, 1] - v0
-    e2 = tp[t, 2] - v0
+    # Geometric normal from the triangle plane, oriented along the shading
+    # normal hemisphere
     ng = nmath.normalize(nmath.cross(e1, e2))
-    # Orient geometric normal along the shading normal hemisphere
     ng = ng * xp.where(nmath.dot(ng, nrm) < 0.0, -1.0, 1.0)
-
-    mat = scene["tri_mat"][t]
-    flags = scene["mat_flags"][mat]
     # Material factors: differentiable fetches (one-hot matmul on TPU).
     base = fetch_rows(scene["mat_base_color"], mat, xp)
     rough = fetch_rows(scene["mat_roughness"][:, None], mat, xp)[..., 0]
@@ -109,7 +148,7 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
         # maps (scene._pack_material_atlas).  Absent maps hold neutral texels
         # so the factor-multiply below reproduces the per-flag select of the
         # legacy path exactly.
-        aid = scene["mat_atlas_id"][mat]
+        aid = atlas_id if atlas_id is not None else scene["mat_atlas_id"][mat]
         px = sample_bilinear(
             _stopgrad(scene["mat_tex"], xp), scene["mat_tex_hw"], aid, uv, xp
         )
@@ -187,9 +226,16 @@ def reconstruct_surface_fast(scene: dict, tri_id, u, v, ray_o, ray_d, t, xp=None
     tid = xp.clip(tri_id, 0, scene["tri_pos"].shape[0] - 1)
     tcl = xp.clip(xp.asarray(t, xp.float32), 0.0, 1e30)
     pos = ray_o + tcl[..., None] * ray_d
-    nrm = nmath.normalize(interpolate(scene["tri_nrm"], tid, u, v, xp))
-    ng = _stopgrad(scene["tri_face_nrm"], xp)[tid]
-    mat = scene["tri_mat"][tid]
+    if "tri_fast" in scene and scene["tri_fast"].shape[0] > 0:
+        # One 13-channel row gather: normal corners + face normal + mat id.
+        row = _take_rows(scene["tri_fast"], tid, xp)
+        nrm = nmath.normalize(_bary_packed(row[..., 0:9], u, v, 3, xp))
+        ng = row[..., 9:12]
+        mat = _f32_int(row[..., 12], xp)
+    else:
+        nrm = nmath.normalize(interpolate(scene["tri_nrm"], tid, u, v, xp))
+        ng = _stopgrad(scene["tri_face_nrm"], xp)[tid]
+        mat = scene["tri_mat"][tid]
     albedo = fetch_rows(scene["mat_avg_albedo"], mat, xp)
     rough = fetch_rows(scene["mat_avg_rough"][:, None], mat, xp)[..., 0]
     metal = fetch_rows(scene["mat_avg_metal"][:, None], mat, xp)[..., 0]

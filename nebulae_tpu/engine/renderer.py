@@ -59,7 +59,9 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     closest_fn, any_fn = make_tracer(scene, bvh, cfg)
 
     o, d = camera_rays_jax(cam, w, h)
-    gbuf = render_gbuffer(scene, closest_fn, o, d)
+    from nebulae_tpu.passes.gbuffer import blocked_closest
+
+    gbuf = render_gbuffer(scene, blocked_closest(closest_fn, h, w), o, d)
 
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32), indexing="ij")
     rng_state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, state["frame"])
@@ -212,6 +214,7 @@ class Renderer:
             from nebulae_tpu.kernels.pallas_trace import (
                 SINGLE_TABLE_MAX_TRIS,
                 pack_bvh_chunks,
+                pack_bvh_fat,
                 pack_bvh_for_pallas,
             )
 
@@ -221,7 +224,12 @@ class Renderer:
                 # Sponza-class: VMEM-sized subtree chunks for the kernel.
                 bvh["chunks"] = pack_bvh_chunks(flat_bvh, flat_scene.tri_pos)
             else:
-                bvh.update(pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos))
+                # Fat children-at-parent layout (2x fewer kernel iterations);
+                # legacy one-node layout when the whole tree is a single leaf.
+                bvh.update(
+                    pack_bvh_fat(flat_bvh, flat_scene.tri_pos)
+                    or pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos)
+                )
         self.bvh = (
             {
                 k: ([jax.tree.map(jnp.asarray, c) for c in v] if k == "chunks" else jnp.asarray(v))

@@ -156,8 +156,70 @@ def pack_bvh_chunks(bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS) ->
             node_right=np.where(leaf_mask, -1, bvh.node_right[r:e] - r).astype(np.int64),
             tri_index=bvh.tri_index[tri_base : tri_base + tri_cnt],
         )
-        chunks.append(pack_bvh_for_pallas(sub, tri_pos))
+        # Fat (children-at-parent) layout when the chunk root is inner;
+        # single-leaf chunks keep the legacy one-node layout.
+        chunks.append(pack_bvh_fat(sub, tri_pos) or pack_bvh_for_pallas(sub, tri_pos))
     return chunks
+
+
+def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
+    """Fat-node packing: each row holds BOTH children's AABBs + metadata.
+
+    The fat kernels test both children at the parent's visit and push only
+    *hit inner* children, so the while-loop runs ~2x fewer iterations than
+    the one-node-per-visit kernel at the same total slab-test work (a box is
+    still tested exactly once).  Leaf children are intersected inline at the
+    parent.  Only inner nodes get rows (compacted ids), so the table is the
+    same size as the legacy 8-row all-nodes table.
+
+    Row layout [16, 128] f32, inner node i at block iid>>7, lane iid&127:
+      rows 0-5   left child lo.xyz / hi.xyz
+      rows 6-11  right child lo.xyz / hi.xyz
+      row 12/13  encL/encR: leaf child  -> first_tri * 32 + count (1..15)
+                 inner child -> inner_id * 32 + 16
+      row 14     this node's near-order meta: split_axis * 2 + left_is_lower
+      row 15     unused
+    Returns None when the root is a leaf (caller uses the legacy kernel).
+    """
+    n = int(bvh.node_lo.shape[0])
+    is_leaf = bvh.node_count > 0
+    if n == 0 or is_leaf[0]:
+        return None
+    inner_idx = np.nonzero(~is_leaf)[0]
+    ni = inner_idx.shape[0]
+    inner_id = np.full(n, -1, np.int64)
+    inner_id[inner_idx] = np.arange(ni)
+
+    def childinfo(c):
+        leaf = is_leaf[c]
+        return np.where(
+            leaf,
+            bvh.node_first[c].astype(np.int64) * (1 << META_SHIFT) + bvh.node_count[c],
+            inner_id[c] * (1 << META_SHIFT) + INNER_FIELD,
+        )
+
+    left = inner_idx + 1
+    right = bvh.node_right[inner_idx].astype(np.int64)
+    c_l = (bvh.node_lo[left] + bvh.node_hi[left]) * 0.5
+    c_r = (bvh.node_lo[right] + bvh.node_hi[right]) * 0.5
+    axis = np.argmax(np.abs(c_r - c_l), axis=-1)
+    lower = (c_l[np.arange(ni), axis] <= c_r[np.arange(ni), axis]).astype(np.int64)
+
+    nb = max((ni + LANES - 1) // LANES, 1)
+    flat = np.zeros((nb * LANES, 16), np.float32)
+    flat[:ni, 0:3] = bvh.node_lo[left]
+    flat[:ni, 3:6] = bvh.node_hi[left]
+    flat[:ni, 6:9] = bvh.node_lo[right]
+    flat[:ni, 9:12] = bvh.node_hi[right]
+    encl = childinfo(left)
+    encr = childinfo(right)
+    assert max(encl.max(initial=0), encr.max(initial=0)) < (1 << 24), "fat enc exceeds f32"
+    flat[:ni, 12] = encl.astype(np.float32)
+    flat[:ni, 13] = encr.astype(np.float32)
+    flat[:ni, 14] = (axis * 2 + lower).astype(np.float32)
+    fat = np.ascontiguousarray(flat.reshape(nb, LANES, 16).transpose(0, 2, 1))
+    base = pack_bvh_for_pallas(bvh, tri_pos)
+    return {"fatnodes": fat, "tris": base["tris"]}
 
 
 def pack_rays(o, d):
@@ -200,10 +262,10 @@ def _fetch_row(table_ref, idx):
     return jnp.broadcast_to(picked, (rows, LANES))
 
 
-def _slab_test(vals, ox, oy, oz, ix, iy, iz, t_cap):
-    """Packet ray-AABB. vals [8,128] lane-replicated; rays [8,128]."""
-    lo_x, lo_y, lo_z = vals[0:1, :], vals[1:2, :], vals[2:3, :]
-    hi_x, hi_y, hi_z = vals[3:4, :], vals[4:5, :], vals[5:6, :]
+def _slab_test(vals, ox, oy, oz, ix, iy, iz, t_cap, off: int = 0):
+    """Packet ray-AABB. vals lane-replicated, box at rows [off, off+6); rays [8,128]."""
+    lo_x, lo_y, lo_z = vals[off + 0 : off + 1, :], vals[off + 1 : off + 2, :], vals[off + 2 : off + 3, :]
+    hi_x, hi_y, hi_z = vals[off + 3 : off + 4, :], vals[off + 4 : off + 5, :], vals[off + 5 : off + 6, :]
     t0x = (lo_x - ox) * ix
     t1x = (hi_x - ox) * ix
     t0y = (lo_y - oy) * iy
@@ -405,6 +467,223 @@ def _any_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Fat-node kernels (pack_bvh_fat): both children tested at the parent
+# ---------------------------------------------------------------------------
+
+
+def _fat_decode(vals):
+    """Scalar metadata extracts shared by the fat kernels (3 syncs)."""
+    encl = jnp.round(vals[12, 0]).astype(jnp.int32)
+    encr = jnp.round(vals[13, 0]).astype(jnp.int32)
+    om = jnp.round(vals[14, 0]).astype(jnp.int32)
+    fl = jax.lax.rem(encl, 1 << META_SHIFT)
+    ml = jax.lax.div(encl, 1 << META_SHIFT)
+    fr = jax.lax.rem(encr, 1 << META_SHIFT)
+    mr = jax.lax.div(encr, 1 << META_SHIFT)
+    return fl, ml, fr, mr, om
+
+
+def _closest_fat_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    fat_ref, tris_ref,
+    t_out, tri_out, u_out, v_out,
+    stack_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
+    pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
+    pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
+
+    stack_ref[0] = 0  # root inner id
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, bt, btri, bu, bv = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid)  # [16, 128]
+        box_l = _slab_test(vals, ox, oy, oz, ix, iy, iz, bt, off=0)
+        box_r = _slab_test(vals, ox, oy, oz, ix, iy, iz, bt, off=6)
+        any_l = jnp.any(box_l)
+        any_r = jnp.any(box_r)
+        fl, ml, fr, mr, om = _fat_decode(vals)
+
+        def make_leaf(first, box):
+            def leaf_body(k, carry):
+                bt, btri, bu, bv = carry
+                tv = _fetch_row(tris_ref, first + k)
+                h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                take = h & box
+                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                return (
+                    jnp.where(take, t, bt),
+                    jnp.where(take, tid, btri),
+                    jnp.where(take, u, bu),
+                    jnp.where(take, v, bv),
+                )
+
+            return leaf_body
+
+        leaf_l = (fl > 0) & (fl <= MAX_LEAF_FIELD)
+        leaf_r = (fr > 0) & (fr <= MAX_LEAF_FIELD)
+        n_l = jnp.where(any_l & leaf_l, jnp.where(leaf_l, fl, 0), 0)
+        n_r = jnp.where(any_r & leaf_r, jnp.where(leaf_r, fr, 0), 0)
+        bt, btri, bu, bv = jax.lax.fori_loop(0, n_l, make_leaf(ml, box_l), (bt, btri, bu, bv))
+        bt, btri, bu, bv = jax.lax.fori_loop(0, n_r, make_leaf(mr, box_r), (bt, btri, bu, bv))
+
+        # Push hit inner children, near on top (pops first).
+        axis = jax.lax.div(om, 2)
+        left_is_lower = jax.lax.rem(om, 2) > 0
+        d_pos = jnp.where(axis == 0, pos_x, jnp.where(axis == 1, pos_y, pos_z))
+        near_is_left = jnp.logical_not(jnp.logical_xor(d_pos, left_is_lower))
+        ok_l = any_l & (fl >= INNER_FIELD)
+        ok_r = any_r & (fr >= INNER_FIELD)
+        near_id = jnp.where(near_is_left, ml, mr)
+        far_id = jnp.where(near_is_left, mr, ml)
+        near_ok = jnp.where(near_is_left, ok_l, ok_r)
+        far_ok = jnp.where(near_is_left, ok_r, ok_l)
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+        stack_ref[sp_c] = far_id
+        sp1 = jnp.where(far_ok, sp_c + 1, sp_c)
+        sp1 = jnp.minimum(sp1, STACK_DEPTH - 1)
+        stack_ref[sp1] = near_id
+        sp = jnp.where(near_ok, sp1 + 1, sp1)
+        return sp, bt, btri, bu, bv
+
+    shape = ox.shape
+    init = (
+        jnp.int32(1),
+        tmax_ref[:],
+        jnp.full(shape, -1.0, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    tri_out[:] = jnp.round(btri).astype(jnp.int32)
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+def _any_fat_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    fat_ref, tris_ref,
+    occ_out,
+    stack_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    tmax = tmax_ref[:]
+    dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
+        jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
+    )
+
+    stack_ref[0] = 0
+
+    def cond(state):
+        sp, _, done_all = state
+        return (sp > 0) & jnp.logical_not(done_all)
+
+    def body(state):
+        sp, occ, _ = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid)
+        cap = jnp.where(occ > 0.0, 0.0, tmax)
+        box_l = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap, off=0)
+        box_r = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap, off=6)
+        any_l = jnp.any(box_l)
+        any_r = jnp.any(box_r)
+        fl, ml, fr, mr, _ = _fat_decode(vals)
+
+        def make_leaf(first, box):
+            def leaf_body(k, occ):
+                tv = _fetch_row(tris_ref, first + k)
+                h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                return jnp.where(h & box, 1.0, occ)
+
+            return leaf_body
+
+        leaf_l = (fl > 0) & (fl <= MAX_LEAF_FIELD)
+        leaf_r = (fr > 0) & (fr <= MAX_LEAF_FIELD)
+        occ = jax.lax.fori_loop(0, jnp.where(any_l & leaf_l, fl, 0), make_leaf(ml, box_l), occ)
+        occ = jax.lax.fori_loop(0, jnp.where(any_r & leaf_r, fr, 0), make_leaf(mr, box_r), occ)
+
+        ok_l = any_l & (fl >= INNER_FIELD)
+        ok_r = any_r & (fr >= INNER_FIELD)
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+        stack_ref[sp_c] = ml
+        sp1 = jnp.where(ok_l, sp_c + 1, sp_c)
+        sp1 = jnp.minimum(sp1, STACK_DEPTH - 1)
+        stack_ref[sp1] = mr
+        sp = jnp.where(ok_r, sp1 + 1, sp1)
+        done_all = jnp.all((occ > 0.0) | dead)
+        return sp, occ, done_all
+
+    init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(False))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = occ > 0.0
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_closest_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    """Closest hit over a pack_bvh_fat table (same contract as
+    pallas_closest_hit)."""
+    rays, n_tiles, n = pack_rays(o, d)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
+    rs = _ray_spec()
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+    ]
+    t, tri, u, v = pl.pallas_call(
+        _closest_fat_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
+        out_specs=[rs] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
+        packed["fatnodes"], packed["tris"],
+    )
+    t = t.reshape(-1)[:n]
+    tri = tri.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_any_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    rays, n_tiles, n = pack_rays(o, d)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
+    rs = _ray_spec()
+    occ = pl.pallas_call(
+        _any_fat_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
+        out_specs=rs,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
+        packed["fatnodes"], packed["tris"],
+    )
+    return occ.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
 # Public entry points (same hit-record contract as tracer.trace)
 # ---------------------------------------------------------------------------
 
@@ -482,6 +761,16 @@ def pallas_any_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     return occ.reshape(-1)[:n]
 
 
+def _chunk_closest(o, d, c, t_max, interpret):
+    fn = pallas_closest_hit_fat if "fatnodes" in c else pallas_closest_hit
+    return fn(o, d, c, t_max=t_max, interpret=interpret)
+
+
+def _chunk_any(o, d, c, t_max, interpret):
+    fn = pallas_any_hit_fat if "fatnodes" in c else pallas_any_hit
+    return fn(o, d, c, t_max=t_max, interpret=interpret)
+
+
 def pallas_closest_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = False):
     """Closest hit over VMEM-sized BVH chunks (pack_bvh_chunks).
 
@@ -489,10 +778,10 @@ def pallas_closest_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = F
     only beat the running best, so a plain take-if-hit merge is exact.  Table
     DMA is once per chunk per call (whole-table VMEM spec); rays that miss a
     chunk's root AABB cost one slab test."""
-    best = pallas_closest_hit(o, d, chunks[0], t_max=t_max, interpret=interpret)
+    best = _chunk_closest(o, d, chunks[0], t_max, interpret)
     for c in chunks[1:]:
         cap = jnp.minimum(best["t"], t_max)
-        hit = pallas_closest_hit(o, d, c, t_max=cap, interpret=interpret)
+        hit = _chunk_closest(o, d, c, cap, interpret)
         take = hit["tri"] >= 0
         best = {
             "t": jnp.where(take, hit["t"], best["t"]),
@@ -506,8 +795,8 @@ def pallas_closest_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = F
 def pallas_any_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = False):
     """Any-hit over BVH chunks: occluded rays are ejected to DEAD_RAY_ORIGIN
     between passes so their tiles retire on the next chunk's root test."""
-    occ = pallas_any_hit(o, d, chunks[0], t_max=t_max, interpret=interpret)
+    occ = _chunk_any(o, d, chunks[0], t_max, interpret)
     for c in chunks[1:]:
         o_live = jnp.where(occ[:, None], jnp.float32(10.0 * DEAD_RAY_ORIGIN), o)
-        occ = occ | pallas_any_hit(o_live, d, c, t_max=t_max, interpret=interpret)
+        occ = occ | _chunk_any(o_live, d, c, t_max, interpret)
     return occ

@@ -149,7 +149,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     """Reduced-res training pass: long paths -> per-vertex records -> 1 adam step.
 
     Returns (new_cache_state, loss)."""
-    from nebulae_tpu.passes.gbuffer import camera_rays_jax, render_gbuffer
+    from nebulae_tpu.passes.gbuffer import blocked_closest, camera_rays_jax, render_gbuffer
 
     tw = max(cfg.width // 4, 8)
     th = max(cfg.height // 4, 8)
@@ -161,7 +161,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     rng_state, jx = nrng.next_float(rng_state)
     rng_state, jy = nrng.next_float(rng_state)
     o, d = camera_rays_jax(cam, tw, th, jitter=jnp.stack([jx, jy], -1))
-    gbuf = render_gbuffer(scene, closest_fn, o, d)
+    gbuf = render_gbuffer(scene, blocked_closest(closest_fn, th, tw), o, d)
 
     k_verts = cfg.nrc_max_path_vertices
     surf0 = {k: gbuf[k] for k in SURF_KEYS}

@@ -212,7 +212,9 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
     closures capture them so jitted callers treat them as constants.
     """
     t_count = scene["tri_pos"].shape[0]
-    has_packed = bvh is not None and ("chunks" in bvh or ("nodes" in bvh and "tris" in bvh))
+    has_packed = bvh is not None and (
+        "chunks" in bvh or (("nodes" in bvh or "fatnodes" in bvh) and "tris" in bvh)
+    )
     mode = cfg.tracer
     if mode == "auto":
         if bvh is None or t_count <= cfg.bruteforce_max_tris:
@@ -232,8 +234,10 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         from nebulae_tpu.kernels.pallas_trace import (
             pallas_any_chunks,
             pallas_any_hit,
+            pallas_any_hit_fat,
             pallas_closest_chunks,
             pallas_closest_hit,
+            pallas_closest_hit_fat,
         )
 
         assert has_packed, "packed tables required for tracer='pallas'"
@@ -241,6 +245,10 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         if "chunks" in bvh:  # Sponza-class: VMEM-sized subtree chunks
             closest = partial(pallas_closest_chunks, chunks=bvh["chunks"], interpret=interpret)
             any_hit = partial(pallas_any_chunks, chunks=bvh["chunks"], interpret=interpret)
+        elif "fatnodes" in bvh:  # children-at-parent layout (default)
+            packed = {"fatnodes": bvh["fatnodes"], "tris": bvh["tris"]}
+            closest = partial(pallas_closest_hit_fat, packed=packed, interpret=interpret)
+            any_hit = partial(pallas_any_hit_fat, packed=packed, interpret=interpret)
         else:
             packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
             closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)

@@ -155,3 +155,55 @@ def test_renderer_chunked_matches_single(cornell_scene, cornell_camera):
     img2 = np.asarray(Renderer(fs, cfg, bvh=bvh2).render(cornell_camera)["hdr"])
 
     np.testing.assert_allclose(img1, img2, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_fat_matches_legacy(soup_setup):
+    """Fat (children-at-parent) kernels are bit-identical to the legacy
+    one-node-per-visit kernels on closest and any hit."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_fat,
+        pallas_any_hit,
+        pallas_any_hit_fat,
+        pallas_closest_hit,
+        pallas_closest_hit_fat,
+    )
+
+    tri, packed, _ = soup_setup
+    fat = {k: jnp.asarray(v) for k, v in pack_bvh_fat(build_bvh(tri), tri).items()}
+    o, d = _rays(1024, seed=17)
+    leg = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    out = pallas_closest_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(leg[k]), posinf=1e30)
+        b = np.nan_to_num(np.asarray(out[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, b)
+    occ_leg = np.asarray(pallas_any_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True))
+    occ_fat = np.asarray(pallas_any_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True))
+    np.testing.assert_array_equal(occ_leg, occ_fat)
+
+
+def test_pallas_fat_tmax_and_dead_rays(soup_setup):
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_fat, pallas_closest_hit_fat
+    from nebulae_tpu.tracer.sorting import DEAD_ORIGIN
+
+    tri, _, _ = soup_setup
+    fat = {k: jnp.asarray(v) for k, v in pack_bvh_fat(build_bvh(tri), tri).items()}
+    o, d = _rays(512, seed=23)
+    base = pallas_closest_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True)
+    t = np.asarray(base["t"])
+    hit = np.asarray(base["tri"]) >= 0
+    cap = np.where(hit, t * 0.5, 1e30).astype(np.float32)
+    capped = pallas_closest_hit_fat(
+        jnp.asarray(o), jnp.asarray(d), fat, t_max=jnp.asarray(cap), interpret=True
+    )
+    cm = np.asarray(capped["tri"]) >= 0
+    assert not (cm & hit & (np.asarray(capped["t"]) >= cap)).any()
+    o[:128] = DEAD_ORIGIN
+    out = pallas_closest_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True)
+    assert (np.asarray(out["tri"])[:128] == -1).all()

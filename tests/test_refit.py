@@ -68,3 +68,30 @@ def test_repack_pallas_bounds(cornell_scene):
     # Metadata rows untouched
     orig = packed["nodes"].transpose(0, 2, 1).reshape(-1, 8)[:n]
     np.testing.assert_array_equal(flat[:, 6], orig[:, 6])
+
+
+def test_repack_pallas_fat_bounds(cornell_scene):
+    from nebulae_tpu.bvh.cbuilder import build_bvh_fast
+    from nebulae_tpu.bvh.refit import compute_levels, refit_bvh, repack_pallas_fat_bounds
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_fat
+
+    tri = cornell_scene.flat.tri_pos
+    bvh = build_bvh_fast(tri)
+    fat = pack_bvh_fat(bvh, tri)
+    dev = {k: jnp.asarray(v) for k, v in bvh.device_arrays().items()}
+    moved = tri + np.float32(1.5)
+    lo, hi = refit_bvh(dev, jnp.asarray(moved), compute_levels(bvh))
+    inner_idx = np.nonzero(bvh.node_count == 0)[0]
+    fat2 = np.asarray(
+        repack_pallas_fat_bounds(jnp.asarray(fat["fatnodes"]), lo, hi, inner_idx, bvh.node_right)
+    )
+    ni = inner_idx.shape[0]
+    flat = fat2.transpose(0, 2, 1).reshape(-1, 16)[:ni]
+    left = inner_idx + 1
+    right = bvh.node_right[inner_idx]
+    np.testing.assert_allclose(flat[:, 0:3], np.asarray(lo)[left], rtol=1e-6)
+    np.testing.assert_allclose(flat[:, 3:6], np.asarray(hi)[left], rtol=1e-6)
+    np.testing.assert_allclose(flat[:, 6:9], np.asarray(lo)[right], rtol=1e-6)
+    np.testing.assert_allclose(flat[:, 9:12], np.asarray(hi)[right], rtol=1e-6)
+    orig = np.asarray(fat["fatnodes"]).transpose(0, 2, 1).reshape(-1, 16)[:ni]
+    np.testing.assert_array_equal(flat[:, 12:15], orig[:, 12:15])
