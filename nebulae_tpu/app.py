@@ -39,6 +39,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--orbit-speed", type=float, default=0.0, help="deg/frame camera orbit")
     p.add_argument("--distance-scale", type=float, default=2.2)
     p.add_argument("--max-texture-dim", type=int, default=1024)
+    # Runtime knobs mirroring the reference's ImGui panels
+    # (DeferredRenderer.cpp:161-252): sun/sky, throughput threshold, SVGF
+    # temporal alpha, NRC learning rate.
+    p.add_argument("--sun-dir", default=None, help="x,y,z toward the sun")
+    p.add_argument("--sun-radiance", default=None, help="r,g,b")
+    p.add_argument("--sun-angle-deg", type=float, default=None, help="sun disk diameter")
+    p.add_argument("--sky-color", default=None, help="r,g,b constant sky")
+    p.add_argument("--throughput-threshold", type=float, default=0.0)
+    p.add_argument("--svgf-alpha", type=float, default=0.9)
+    p.add_argument("--nrc-lr", type=float, default=1e-2)
+    p.add_argument("--fast-bounce-shading", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
@@ -76,8 +87,32 @@ def main(argv=None) -> int:
         enable_nrc=args.nrc,
         enable_envmap=args.envmap is not None,
         tracer=args.tracer,
+        throughput_threshold=args.throughput_threshold,
+        svgf_temporal_alpha=args.svgf_alpha,
+        nrc_learning_rate=args.nrc_lr,
+        fast_bounce_shading=args.fast_bounce_shading,
     )
-    renderer = Renderer(fs, cfg)
+
+    def _vec3(s):
+        v = np.asarray([float(x) for x in s.split(",")], np.float32)
+        assert v.shape == (3,), s
+        return v
+
+    from nebulae_tpu.config import SunLight
+
+    sun = SunLight.default(np)
+    if args.sun_dir:
+        d = _vec3(args.sun_dir)
+        sun = sun.replace(direction=d / np.linalg.norm(d))
+    if args.sun_radiance:
+        sun = sun.replace(radiance=_vec3(args.sun_radiance))
+    if args.sun_angle_deg is not None:
+        sun = sun.replace(
+            tan_half_angle=np.float32(np.tan(np.deg2rad(args.sun_angle_deg) * 0.5))
+        )
+    if args.sky_color:
+        sun = sun.replace(sky_color=_vec3(args.sky_color))
+    renderer = Renderer(fs, cfg, sun=sun)
     if args.envmap:
         import jax.numpy as jnp
 
