@@ -79,12 +79,14 @@ def main() -> None:
     state = init_frame_state(cfg)
     target = jnp.zeros((height, width, 3), jnp.float32)
     jstep = jax.jit(step)
-    params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
+    # Frame state threads across steps (steady-state online training, like
+    # the render loop); params/opt stay fixed so per-step work is constant.
+    params2, opt_state2, state, loss, img = jstep(params, opt_state, cam, state, target)
     float(loss)
     t0 = time.perf_counter()
     n_bwd = 3
     for _ in range(n_bwd):
-        params2, opt_state2, state2, loss, img = jstep(params, opt_state, cam, state, target)
+        params2, opt_state2, state, loss, img = jstep(params, opt_state, cam, state, target)
         float(loss)
     fwdbwd_s = (time.perf_counter() - t0) / n_bwd
     fwdbwd_mrays = rays_per_frame / fwdbwd_s / 1e6

@@ -93,9 +93,16 @@ class FlatScene:
             self.tri_pos, self.tri_nrm, self.tri_uv, self.tri_tan, self.tri_mat,
             self.tri_face_nrm, self.mat_flags, self.mat_atlas_id,
         )
+        # Quad-packed atlas, memoized: the atlas never mutates after flatten
+        # (unlike the triangle tables, which utils.testscenes edits in place).
+        cache = getattr(self, "_quad_cache", None)
+        if cache is None or cache[0] is not self.mat_tex:
+            cache = (self.mat_tex, quad_pack_atlas(self.mat_tex, self.mat_tex_hw))
+            self._quad_cache = cache
         return {
             "tri_geom": tri_geom,
             "tri_fast": tri_fast,
+            "mat_tex_quad": cache[1],
             "tri_pos": self.tri_pos,
             "tri_nrm": self.tri_nrm,
             "tri_uv": self.tri_uv,
@@ -296,6 +303,25 @@ def _average_material_tables(mats, images, base, metal, rough, emis):
         np.clip(avg_metal, 0.0, 1.0).astype(np.float32),
         avg_emissive.astype(np.float32),
     )
+
+
+def quad_pack_atlas(mat_tex: np.ndarray, mat_tex_hw: np.ndarray) -> np.ndarray:
+    """Pre-pack each atlas texel's 2x2 REPEAT-wrap neighborhood into one row:
+    [A, AH, AW, 48] u8 with channels (p | p->right | p->down | p->diag).
+
+    The bilinear material fetch becomes ONE row gather (gather cost is per
+    row, nearly width-independent) instead of 4.  Wrap happens at each
+    material's *actual* (h, w), not the padded atlas extent."""
+    a, ah, aw, c = mat_tex.shape
+    quad = np.zeros((a, ah, aw, 4 * c), mat_tex.dtype)
+    for i in range(a):
+        h, w = int(mat_tex_hw[i, 0]), int(mat_tex_hw[i, 1])
+        sub = mat_tex[i, :h, :w]
+        right = np.roll(sub, -1, axis=1)
+        down = np.roll(sub, -1, axis=0)
+        diag = np.roll(right, -1, axis=0)
+        quad[i, :h, :w] = np.concatenate([sub, right, down, diag], axis=-1)
+    return quad
 
 
 def pack_geometry_rows(

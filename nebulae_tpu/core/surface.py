@@ -149,9 +149,16 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
         # so the factor-multiply below reproduces the per-flag select of the
         # legacy path exactly.
         aid = atlas_id if atlas_id is not None else scene["mat_atlas_id"][mat]
-        px = sample_bilinear(
-            _stopgrad(scene["mat_tex"], xp), scene["mat_tex_hw"], aid, uv, xp
-        )
+        if "mat_tex_quad" in scene:
+            from nebulae_tpu.core.texture import sample_bilinear_quad
+
+            px = sample_bilinear_quad(
+                _stopgrad(scene["mat_tex_quad"], xp), scene["mat_tex_hw"], aid, uv, xp
+            )
+        else:
+            px = sample_bilinear(
+                _stopgrad(scene["mat_tex"], xp), scene["mat_tex_hw"], aid, uv, xp
+            )
         albedo = albedo * srgb_to_linear(px[..., 0:3])
         rough = rough * px[..., 3]
         metal = metal * px[..., 4]

@@ -36,6 +36,45 @@ def linear_to_srgb(c):
     return xp.where(c <= 0.0031308, lo, hi)
 
 
+def sample_bilinear_quad(quad_tex, tex_hw, tex_id, uv, xp=None):
+    """Bilinear sample from a quad-packed texture stack with ONE row gather.
+
+    quad_tex: [K, TH, TW, 4C] u8 where each texel row holds its 2x2
+    REPEAT-wrap neighborhood (core.scene.quad_pack_atlas); identical results
+    to `sample_bilinear` on the unpacked [K, TH, TW, C] stack, but a single
+    gather instead of four (gather cost is per row).  Returns [..., C] f32."""
+    xp = xp or _xp(uv)
+    tid = xp.clip(tex_id, 0, max(int(quad_tex.shape[0]) - 1, 0))
+    hw = tex_hw[tid]
+    h = hw[..., 0].astype(xp.float32)
+    w = hw[..., 1].astype(xp.float32)
+    u = uv[..., 0] - xp.floor(uv[..., 0])
+    v = uv[..., 1] - xp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = xp.floor(x)
+    y0f = xp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+
+    def wrap(i, n):
+        return xp.where(i < 0, i + n, xp.where(i >= n, i - n, i))
+
+    x0 = wrap(x0f.astype(xp.int32), hw[..., 1])
+    y0 = wrap(y0f.astype(xp.int32), hw[..., 0])
+
+    k, th, tw, c4 = (int(s) for s in quad_tex.shape)
+    c = c4 // 4
+    flat = quad_tex.reshape(k * th * tw, c4)
+    idx = tid * (th * tw) + y0 * tw + x0
+    shp = y0.shape
+    rows = xp.take(flat, idx.reshape(-1), axis=0).reshape(*shp, c4).astype(xp.float32) / 255.0
+    c00, c01, c10, c11 = rows[..., 0:c], rows[..., c : 2 * c], rows[..., 2 * c : 3 * c], rows[..., 3 * c :]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def sample_bilinear(textures, tex_hw, tex_id, uv, xp=None):
     """Bilinear sample with REPEAT wrap.
 

@@ -113,17 +113,31 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         if cfg.svgf_reproject:
             # Motion-vector temporal reprojection: warp history through the
             # previous frame's view-projection (passes.svgf.reproject_history).
+            # When the camera did not move since the last frame the warp is
+            # the identity, so a traced compare skips its ~90 ms gather
+            # entirely (the reference's analogue: it only denoises static
+            # frames at all, DeferredRenderer.cpp:595).
             from nebulae_tpu.passes.svgf import reproject_history
 
             position_img = gbuf["position"].reshape(h, w, 3)
-            warped, valid = reproject_history(
-                hist, position_img, hist["prev_viewproj"], w, h,
-                prev_eye=hist["prev_eye"], current_depth=depth,
+            hist_bufs = {
+                k: hist[k] for k in ("radiance", "depth", "normal", "moments", "histlen")
+            }
+
+            def warp(bufs):
+                warped, valid = reproject_history(
+                    dict(bufs), position_img, hist["prev_viewproj"], w, h,
+                    prev_eye=hist["prev_eye"], current_depth=depth,
+                )
+                # Invalid (off-screen/behind-camera) lookups: poison the depth
+                # so the temporal stability weight goes to zero -> reset.
+                warped["depth"] = jnp.where(valid, warped["depth"], -1e9)
+                return warped
+
+            same_cam = jnp.all(hist["prev_viewproj"] == cam["viewproj"]) & jnp.all(
+                hist["prev_eye"] == cam["eye"]
             )
-            # Invalid (off-screen/behind-camera) lookups: poison the depth so
-            # the temporal stability weight goes to zero -> history reset.
-            warped["depth"] = jnp.where(valid, warped["depth"], -1e9)
-            hist = warped
+            hist = jax.lax.cond(same_cam, lambda bufs: dict(bufs), warp, hist_bufs)
 
         def pick(cur, old):
             return jnp.where(reset, cur, old)

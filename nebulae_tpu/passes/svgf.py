@@ -220,6 +220,34 @@ def _bilinear_history(img, x, y):
     return out, in_bounds
 
 
+def _bilinear_history_quad(stack, x, y):
+    """Bilinear gather from a multi-channel history stack with ONE row gather.
+
+    The 2x2 tap neighborhood is pre-packed per pixel via clamp-to-edge shifts
+    (cheap dense copies), so the fetch is a single [H*W, 4C] row gather at
+    (y0, x0) instead of four [H*W, C] gathers -- gather cost on TPU is per
+    fetched row (measured 278 -> ~90 ms on the 1080p 10-channel reproject).
+    stack [H, W, C]; x, y [H, W].  Returns ([H, W, C], in_bounds [H, W])."""
+    h, w, c = stack.shape
+    in_bounds = (x >= -0.5) & (x <= w - 0.5) & (y >= -0.5) & (y <= h - 0.5)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # quad[y, x] = (p, p->right, p->down, p->down-right), edge-clamped: the
+    # shifted copies replicate the border exactly like min(i+1, n-1) taps.
+    quad = jnp.concatenate(
+        [stack, _shift2d(stack, 0, -1), _shift2d(stack, -1, 0), _shift2d(stack, -1, -1)],
+        axis=-1,
+    ).reshape(h * w, 4 * c)
+    rows = jnp.take(quad, (y0i * w + x0i).reshape(-1), axis=0).reshape(h, w, 4, c)
+    c00, c01, c10, c11 = rows[..., 0, :], rows[..., 1, :], rows[..., 2, :], rows[..., 3, :]
+    out = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+    return out, in_bounds
+
+
 def reproject_history(history: dict, position, prev_viewproj, width: int, height: int, prev_eye=None, current_depth=None):
     """Motion-vector temporal reprojection (beyond the reference, which
     disables SVGF while the camera moves, DeferredRenderer.cpp:595): project
@@ -253,7 +281,7 @@ def reproject_history(history: dict, position, prev_viewproj, width: int, height
         ],
         axis=-1,
     )
-    warped_stack, ib = _bilinear_history(stack, x, y)
+    warped_stack, ib = _bilinear_history_quad(stack, x, y)
     rad = warped_stack[..., 0:3]
     dep = warped_stack[..., 3]
     nrm = warped_stack[..., 4:7]
