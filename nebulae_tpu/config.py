@@ -94,6 +94,12 @@ class RenderConfig:
     # packet triangle tests in the Pallas kernel (max 15, encoding limit).
     # Measured on TPU v5e: 8 is ~5-8% faster than 4 across ray classes.
     bvh_max_leaf: int = 8
+    # Any-hit (shadow) rays can use a second, coarser tree (occlusion only
+    # needs *a* hit, so dense leaf tests beat descent: leaf 15 is ~30% faster
+    # than 8 on synthetic sorted 1080p shadow packets) -- but measured
+    # frame-neutral on the bench scene (in-frame shadow packets are coherent
+    # and partially dead), so the default shares the closest-hit BVH (0).
+    bvh_any_max_leaf: int = 0
 
 
 if struct is not None:

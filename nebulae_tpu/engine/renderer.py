@@ -244,11 +244,25 @@ class Renderer:
                     pack_bvh_fat(flat_bvh, flat_scene.tri_pos)
                     or pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos)
                 )
+            if cfg.bvh_any_max_leaf and cfg.bvh_any_max_leaf != cfg.bvh_max_leaf:
+                # Coarser second tree for occlusion (any-hit) rays.
+                any_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_any_max_leaf)
+                if t_count > SINGLE_TABLE_MAX_TRIS:
+                    bvh["any_chunks"] = pack_bvh_chunks(any_bvh, flat_scene.tri_pos)
+                else:
+                    bvh["any"] = pack_bvh_fat(any_bvh, flat_scene.tri_pos) or pack_bvh_for_pallas(
+                        any_bvh, flat_scene.tri_pos
+                    )
+
+        def _to_dev(k, v):
+            if k in ("chunks", "any_chunks"):
+                return [jax.tree.map(jnp.asarray, c) for c in v]
+            if k == "any":
+                return jax.tree.map(jnp.asarray, v)
+            return jnp.asarray(v)
+
         self.bvh = (
-            {
-                k: ([jax.tree.map(jnp.asarray, c) for c in v] if k == "chunks" else jnp.asarray(v))
-                for k, v in bvh.items()
-            }
+            {k: _to_dev(k, v) for k, v in bvh.items()}
             if isinstance(bvh, dict) and bvh
             else None
         )

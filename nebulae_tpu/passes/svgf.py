@@ -94,10 +94,19 @@ def svgf_temporal(
         denom = jnp.maximum(sum_w, 1e-6)
         return sum_m1 / denom, sum_m2 / denom
 
-    m1s, m2s = blur_axis(y, y * y, axis=1)
-    m1s, m2s = blur_axis(m1s, m2s, axis=0)
-    var_spatial = jnp.maximum(m2s - m1s * m1s, cfg.svgf_variance_eps) * 4.0
-    variance = jnp.where(new_histlen < 4.0, jnp.maximum(variance, var_spatial), variance)
+    def with_spatial(variance):
+        m1s, m2s = blur_axis(y, y * y, axis=1)
+        m1s, m2s = blur_axis(m1s, m2s, axis=0)
+        var_spatial = jnp.maximum(m2s - m1s * m1s, cfg.svgf_variance_eps) * 4.0
+        return jnp.where(new_histlen < 4.0, jnp.maximum(variance, var_spatial), variance)
+
+    # The 14-tap bilateral only matters while some pixel's history is short;
+    # in steady state (static or well-reprojected camera) skip it entirely.
+    import jax as _jax
+
+    variance = _jax.lax.cond(
+        jnp.any(new_histlen < 4.0), with_spatial, lambda v: v, variance
+    )
 
     moments = jnp.stack([y_acc, y2_acc], axis=-1)
     return accum, moments, variance, new_histlen

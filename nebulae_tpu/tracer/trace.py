@@ -253,6 +253,13 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
             closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)
             any_hit = partial(pallas_any_hit, packed=packed, interpret=interpret)
+        # Occlusion rays optionally traverse a coarser second tree (bigger
+        # leaves; any hit ends the ray, so dense leaf tests beat descent).
+        if "any_chunks" in bvh:
+            any_hit = partial(pallas_any_chunks, chunks=bvh["any_chunks"], interpret=interpret)
+        elif "any" in bvh:
+            fn = pallas_any_hit_fat if "fatnodes" in bvh["any"] else pallas_any_hit
+            any_hit = partial(fn, packed=bvh["any"], interpret=interpret)
     else:
         raise ValueError(f"unknown tracer mode: {mode}")
     return closest, any_hit

@@ -207,3 +207,25 @@ def test_pallas_fat_tmax_and_dead_rays(soup_setup):
     o[:128] = DEAD_ORIGIN
     out = pallas_closest_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True)
     assert (np.asarray(out["tri"])[:128] == -1).all()
+
+
+def test_renderer_any_bvh_matches_shared(cornell_scene, cornell_camera):
+    """A coarser second any-hit tree (cfg.bvh_any_max_leaf) must not change
+    the image: occlusion is binary."""
+    import numpy as np
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer
+
+    fs = cornell_scene.flat
+    base = dict(
+        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas", bruteforce_max_tris=0,
+    )
+    img1 = np.asarray(
+        Renderer(fs, RenderConfig(bvh_any_max_leaf=0, **base)).render(cornell_camera)["hdr"]
+    )
+    img2 = np.asarray(
+        Renderer(fs, RenderConfig(bvh_any_max_leaf=15, **base)).render(cornell_camera)["hdr"]
+    )
+    np.testing.assert_allclose(img1, img2, rtol=1e-6, atol=1e-7)
