@@ -71,6 +71,26 @@ def main() -> None:
     fwd_s = (time.perf_counter() - t0) / n_iter
     fwd_mrays = rays_per_frame / fwd_s / 1e6
 
+    # Moving camera (orbit): exercises SVGF motion-vector reprojection (the
+    # static case skips the warp under lax.cond).  Same compiled program.
+    from nebulae_tpu.core.camera import Camera
+
+    def orbit_cam(i):
+        ang = 0.02 * (i + 1)
+        tgt = np.asarray(cam_obj.target, np.float32)
+        rel = np.asarray(cam_obj.eye, np.float32) - tgt
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        return Camera(eye=tgt + rot @ rel, target=tgt, fov_y_deg=cam_obj.fov_y_deg)
+
+    out = renderer.render(orbit_cam(0))
+    float(out["ldr"].mean())
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = renderer.render(orbit_cam(i + 1))
+        float(out["ldr"].mean())
+    fwd_orbit_s = (time.perf_counter() - t0) / n_iter
+
     # --- forward + backward (full train step) ---
     params, frozen = split_scene_params(renderer.scene)
     params["sun"] = renderer.sun
@@ -99,6 +119,7 @@ def main() -> None:
         "detail": {
             "fwd_mrays_s": round(fwd_mrays, 2),
             "fwd_frame_ms": round(fwd_s * 1e3, 1),
+            "fwd_orbit_frame_ms": round(fwd_orbit_s * 1e3, 1),
             "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
             "rays_per_frame": rays_per_frame,
             "triangles": int(fs.num_triangles),
