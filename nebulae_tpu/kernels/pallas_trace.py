@@ -684,6 +684,160 @@ def pallas_any_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fals
 
 
 # ---------------------------------------------------------------------------
+# Combined shadow+bounce kernel: at a path vertex the NEE shadow ray and the
+# indirect bounce ray share an origin, so one traversal of the *union* of
+# their node sets replaces two traversals that each repeat the deep
+# root->origin path.  Closest-hit semantics for the bounce direction,
+# any-hit for the shadow direction; per-set box gates keep leaf work
+# identical to the separate kernels.
+# ---------------------------------------------------------------------------
+
+
+def _combo_fat_kernel(
+    ox_ref, oy_ref, oz_ref,
+    bx_ref, by_ref, bz_ref, tmaxb_ref,
+    lx_ref, ly_ref, lz_ref, tmaxl_ref,
+    fat_ref, tris_ref,
+    t_out, tri_out, u_out, v_out, occ_out,
+    stack_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
+    lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
+    ibx, iby, ibz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
+    ilx, ily, ilz = _safe_inv(lx), _safe_inv(ly), _safe_inv(lz)
+    tmax_l = tmaxl_ref[:]
+    # Near-child order follows the bounce direction (the closest-hit set);
+    # the shadow set is any-hit and order-free.
+    pos_x = jnp.sum(jnp.sign(bx)) >= 0.0
+    pos_y = jnp.sum(jnp.sign(by)) >= 0.0
+    pos_z = jnp.sum(jnp.sign(bz)) >= 0.0
+
+    stack_ref[0] = 0
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, bt, btri, bu, bv, occ = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid)
+        cap_l = jnp.where(occ > 0.0, 0.0, tmax_l)
+        bl_b = _slab_test(vals, ox, oy, oz, ibx, iby, ibz, bt, off=0)
+        br_b = _slab_test(vals, ox, oy, oz, ibx, iby, ibz, bt, off=6)
+        bl_l = _slab_test(vals, ox, oy, oz, ilx, ily, ilz, cap_l, off=0)
+        br_l = _slab_test(vals, ox, oy, oz, ilx, ily, ilz, cap_l, off=6)
+        any_l = jnp.any(bl_b | bl_l)
+        any_r = jnp.any(br_b | br_l)
+        fl, ml, fr, mr, om = _fat_decode(vals)
+
+        def make_leaf(first, box_b, box_l):
+            def leaf_body(k, carry):
+                bt, btri, bu, bv, occ = carry
+                tv = _fetch_row(tris_ref, first + k)
+                hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
+                take = hb & box_b
+                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                bt = jnp.where(take, t, bt)
+                btri = jnp.where(take, tid, btri)
+                bu = jnp.where(take, u, bu)
+                bv = jnp.where(take, v, bv)
+                hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
+                occ = jnp.where(hl & box_l, 1.0, occ)
+                return bt, btri, bu, bv, occ
+
+            return leaf_body
+
+        leaf_l = (fl > 0) & (fl <= MAX_LEAF_FIELD)
+        leaf_r = (fr > 0) & (fr <= MAX_LEAF_FIELD)
+        carry = (bt, btri, bu, bv, occ)
+        carry = jax.lax.fori_loop(
+            0, jnp.where(any_l & leaf_l, fl, 0), make_leaf(ml, bl_b, bl_l), carry
+        )
+        carry = jax.lax.fori_loop(
+            0, jnp.where(any_r & leaf_r, fr, 0), make_leaf(mr, br_b, br_l), carry
+        )
+        bt, btri, bu, bv, occ = carry
+
+        axis = jax.lax.div(om, 2)
+        left_is_lower = jax.lax.rem(om, 2) > 0
+        d_pos = jnp.where(axis == 0, pos_x, jnp.where(axis == 1, pos_y, pos_z))
+        near_is_left = jnp.logical_not(jnp.logical_xor(d_pos, left_is_lower))
+        ok_l = any_l & (fl >= INNER_FIELD)
+        ok_r = any_r & (fr >= INNER_FIELD)
+        near_id = jnp.where(near_is_left, ml, mr)
+        far_id = jnp.where(near_is_left, mr, ml)
+        near_ok = jnp.where(near_is_left, ok_l, ok_r)
+        far_ok = jnp.where(near_is_left, ok_r, ok_l)
+        sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+        stack_ref[sp_c] = far_id
+        sp1 = jnp.where(far_ok, sp_c + 1, sp_c)
+        sp1 = jnp.minimum(sp1, STACK_DEPTH - 1)
+        stack_ref[sp1] = near_id
+        sp = jnp.where(near_ok, sp1 + 1, sp1)
+        return sp, bt, btri, bu, bv, occ
+
+    shape = ox.shape
+    init = (
+        jnp.int32(1),
+        tmaxb_ref[:],
+        jnp.full(shape, -1.0, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    _, bt, btri, bu, bv, occ = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    tri_out[:] = jnp.round(btri).astype(jnp.int32)
+    u_out[:] = bu
+    v_out[:] = bv
+    occ_out[:] = occ > 0.0
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_shadow_closest_fat(
+    o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
+):
+    """One traversal for a closest-hit ray (o, b) and an any-hit ray (o, l)
+    sharing the origin.  t_max_l <= 0 disables a lane's shadow ray; t_max_b
+    <= 0 disables its bounce ray.  Returns (hit dict, occluded [N])."""
+    rays_o, n_tiles, n = pack_rays(o, b)
+    rays_l, _, _ = pack_rays(o, l)
+    tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
+    tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
+    rs = _ray_spec()
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
+    ]
+    t, tri, u, v, occ = pl.pallas_call(
+        _combo_fat_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 11 + [_table_spec(), _table_spec()],
+        out_specs=[rs] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays_o["ox"], rays_o["oy"], rays_o["oz"],
+        rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
+        rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl,
+        packed["fatnodes"], packed["tris"],
+    )
+    t = t.reshape(-1)[:n]
+    tri = tri.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    occ = occ.reshape(-1)[:n]
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}, occ
+
+
+# ---------------------------------------------------------------------------
 # Public entry points (same hit-record contract as tracer.trace)
 # ---------------------------------------------------------------------------
 
@@ -769,6 +923,41 @@ def _chunk_closest(o, d, c, t_max, interpret):
 def _chunk_any(o, d, c, t_max, interpret):
     fn = pallas_any_hit_fat if "fatnodes" in c else pallas_any_hit
     return fn(o, d, c, t_max=t_max, interpret=interpret)
+
+
+def pallas_shadow_closest_chunks(
+    o, b, l, chunks: list, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
+):
+    """Combined shadow+bounce traversal over BVH chunks: closest-hit caps
+    tighten and occluded lanes' shadow caps drop to 0 between passes.
+    Falls back to the separate kernels on non-fat (single-leaf) chunks."""
+    n = o.shape[0]
+    tb = jnp.broadcast_to(jnp.asarray(t_max_b, jnp.float32), (n,))
+    tl = jnp.broadcast_to(jnp.asarray(t_max_l, jnp.float32), (n,))
+    best = None
+    occ = jnp.zeros(n, bool)
+    for c in chunks:
+        cap_b = tb if best is None else jnp.minimum(best["t"], tb)
+        cap_l = jnp.where(occ, 0.0, tl)
+        if "fatnodes" in c:
+            hit, o2 = pallas_shadow_closest_fat(
+                o, b, l, c, t_max_b=cap_b, t_max_l=cap_l, interpret=interpret
+            )
+        else:
+            hit = pallas_closest_hit(o, b, c, t_max=cap_b, interpret=interpret)
+            o2 = pallas_any_hit(o, l, c, t_max=cap_l, interpret=interpret)
+        occ = occ | o2
+        if best is None:
+            best = hit
+        else:
+            take = hit["tri"] >= 0
+            best = {
+                "t": jnp.where(take, hit["t"], best["t"]),
+                "tri": jnp.where(take, hit["tri"], best["tri"]),
+                "u": jnp.where(take, hit["u"], best["u"]),
+                "v": jnp.where(take, hit["v"], best["v"]),
+            }
+    return best, occ
 
 
 def pallas_closest_chunks(o, d, chunks: list, t_max=jnp.inf, interpret: bool = False):

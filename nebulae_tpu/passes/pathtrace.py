@@ -70,7 +70,8 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
     if cfg.sort_rays:
         key = ray_sort_key(origin, b, scene["aabb_min"], scene["aabb_max"], alive_bounce)
         occ, hit = sorted_shadow_closest(
-            any_fn, closest_fn, origin, pre["shoot"], l, alive_bounce, b, key
+            any_fn, closest_fn, origin, pre["shoot"], l, alive_bounce, b, key,
+            combo_fn=getattr(closest_fn, "combo", None),
         )
         hit = detach(hit)
     else:

@@ -85,7 +85,7 @@ def sorted_any(any_fn, o, d, key):
     return out["occ"] > 0
 
 
-def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key):
+def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_fn=None):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -93,6 +93,10 @@ def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key):
     Morton) serves both -- shadow packets stay coherent under any
     origin-local permutation because every shadow ray points at the sun disk.
     Halves the per-bounce lax.sort rounds vs sorting each trace separately.
+
+    When `combo_fn(o, b, l, t_max_b, t_max_l) -> (hit, occ)` is given (the
+    fused Pallas kernel), BOTH rays ride one traversal of the union of their
+    node sets -- the deep root->origin descent is shared instead of repeated.
 
     o [N,3] true origins; shoot [N] shadow-live mask; l [N,3] shadow dirs;
     alive [N] bounce-live mask; b [N,3] bounce dirs.  Returns
@@ -107,10 +111,18 @@ def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key):
     )
     os = jnp.stack([ox, oy, oz], axis=-1)
     alive_s = key_s != jnp.int32(0x7FFFFFFF)
-    o_shadow = jnp.where((shoot_s > 0)[:, None], os, DEAD_ORIGIN)
-    o_bounce = jnp.where(alive_s[:, None], os, DEAD_ORIGIN)
-    occ = any_fn(o_shadow, jnp.stack([lx, ly, lz], axis=-1)).astype(jnp.int32)
-    hit = closest_fn(o_bounce, jnp.stack([bx, by, bz], axis=-1))
+    if combo_fn is not None:
+        t_b = jnp.where(alive_s, jnp.inf, 0.0)
+        t_l = jnp.where(shoot_s > 0, jnp.inf, 0.0)
+        hit, occ_b = combo_fn(
+            os, jnp.stack([bx, by, bz], axis=-1), jnp.stack([lx, ly, lz], axis=-1), t_b, t_l
+        )
+        occ = occ_b.astype(jnp.int32)
+    else:
+        o_shadow = jnp.where((shoot_s > 0)[:, None], os, DEAD_ORIGIN)
+        o_bounce = jnp.where(alive_s[:, None], os, DEAD_ORIGIN)
+        occ = any_fn(o_shadow, jnp.stack([lx, ly, lz], axis=-1)).astype(jnp.int32)
+        hit = closest_fn(o_bounce, jnp.stack([bx, by, bz], axis=-1))
     _, occ_u, t, tri, u, v = jax.lax.sort(
         (perm, occ, hit["t"], hit["tri"], hit["u"], hit["v"]), num_keys=1
     )

@@ -203,6 +203,17 @@ def bvh_any_hit(o, d, bvh, tri_pos, t_max=jnp.inf, max_leaf: int = MAX_LEAF):
 # ---------------------------------------------------------------------------
 
 
+def _with_combo(closest, combo):
+    """Expose a fused shadow+bounce traversal as `closest.combo` (functools
+    partials reject attributes, so wrap in a plain function)."""
+
+    def fn(o, d, t_max=jnp.inf):
+        return closest(o, d, t_max=t_max)
+
+    fn.combo = combo
+    return fn
+
+
 def make_tracer(scene: dict, bvh: dict | None, cfg):
     """Return (closest_fn, any_fn) choosing a strategy per scene/backend.
 
@@ -238,6 +249,8 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             pallas_closest_chunks,
             pallas_closest_hit,
             pallas_closest_hit_fat,
+            pallas_shadow_closest_chunks,
+            pallas_shadow_closest_fat,
         )
 
         assert has_packed, "packed tables required for tracer='pallas'"
@@ -245,10 +258,25 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         if "chunks" in bvh:  # Sponza-class: VMEM-sized subtree chunks
             closest = partial(pallas_closest_chunks, chunks=bvh["chunks"], interpret=interpret)
             any_hit = partial(pallas_any_chunks, chunks=bvh["chunks"], interpret=interpret)
+
+            def combo(o, b, l, t_max_b, t_max_l):
+                return pallas_shadow_closest_chunks(
+                    o, b, l, bvh["chunks"], t_max_b=t_max_b, t_max_l=t_max_l,
+                    interpret=interpret,
+                )
+
+            closest = _with_combo(closest, combo)
         elif "fatnodes" in bvh:  # children-at-parent layout (default)
             packed = {"fatnodes": bvh["fatnodes"], "tris": bvh["tris"]}
             closest = partial(pallas_closest_hit_fat, packed=packed, interpret=interpret)
             any_hit = partial(pallas_any_hit_fat, packed=packed, interpret=interpret)
+
+            def combo(o, b, l, t_max_b, t_max_l):
+                return pallas_shadow_closest_fat(
+                    o, b, l, packed, t_max_b=t_max_b, t_max_l=t_max_l, interpret=interpret
+                )
+
+            closest = _with_combo(closest, combo)
         else:
             packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
             closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)

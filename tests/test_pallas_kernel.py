@@ -229,3 +229,59 @@ def test_renderer_any_bvh_matches_shared(cornell_scene, cornell_camera):
         Renderer(fs, RenderConfig(bvh_any_max_leaf=15, **base)).render(cornell_camera)["hdr"]
     )
     np.testing.assert_allclose(img1, img2, rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_combo_matches_separate(soup_setup):
+    """Fused shadow+bounce traversal == separate closest + any kernels,
+    including disabled lanes via zero t caps, single-table and chunked."""
+    import jax
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_chunks,
+        pack_bvh_fat,
+        pallas_any_hit_fat,
+        pallas_closest_hit_fat,
+        pallas_shadow_closest_chunks,
+        pallas_shadow_closest_fat,
+    )
+
+    tri, _, _ = soup_setup
+    bvh = build_bvh(tri, max_leaf=8)
+    fat = {k: jnp.asarray(v) for k, v in pack_bvh_fat(bvh, tri).items()}
+    rng = np.random.default_rng(31)
+    o, b = _rays(1024, seed=41)
+    l = rng.normal(size=(1024, 3)).astype(np.float32)
+    l /= np.linalg.norm(l, axis=-1, keepdims=True)
+    alive = rng.random(1024) > 0.3
+    shoot = rng.random(1024) > 0.4
+    t_b = jnp.where(jnp.asarray(alive), jnp.inf, 0.0)
+    t_l = jnp.where(jnp.asarray(shoot), jnp.inf, 0.0)
+
+    hit_c, occ_c = pallas_shadow_closest_fat(
+        jnp.asarray(o), jnp.asarray(b), jnp.asarray(l), fat,
+        t_max_b=t_b, t_max_l=t_l, interpret=True,
+    )
+    ob = np.where(alive[:, None], o, 1e14)
+    ol = np.where(shoot[:, None], o, 1e14)
+    hit_s = pallas_closest_hit_fat(jnp.asarray(ob), jnp.asarray(b), fat, interpret=True)
+    occ_s = pallas_any_hit_fat(jnp.asarray(ol), jnp.asarray(l), fat, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(hit_s[k]), posinf=1e30),
+            np.nan_to_num(np.asarray(hit_c[k]), posinf=1e30),
+        )
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_c))
+
+    chunks = [jax.tree.map(jnp.asarray, c) for c in pack_bvh_chunks(bvh, tri, max_tris=256)]
+    hit_k, occ_k = pallas_shadow_closest_chunks(
+        jnp.asarray(o), jnp.asarray(b), jnp.asarray(l), chunks,
+        t_max_b=t_b, t_max_l=t_l, interpret=True,
+    )
+    for k in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(hit_s[k]), posinf=1e30),
+            np.nan_to_num(np.asarray(hit_k[k]), posinf=1e30),
+        )
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_k))
