@@ -244,7 +244,7 @@ def pack_rays(o, d):
 # ---------------------------------------------------------------------------
 
 
-def _fetch_row(table_ref, idx):
+def _fetch_row(table_ref, idx, rows: int | None = None):
     """Element idx's row, replicated across lanes -> [rows, 128].
 
     Exactness matters: an MXU one-hot matvec would truncate the f32 table to
@@ -252,9 +252,13 @@ def _fetch_row(table_ref, idx):
     corruption), so the lane is selected with a VPU mask + cross-lane sum and
     then lane-broadcast.  Mosaic also can't broadcast [1,1]->[8,128] in one
     op, which is why fields stay [1,128] lane-uniform slices downstream
-    (sublane-only broadcasts)."""
+    (sublane-only broadcasts).  `rows` limits the mask+reduce to the leading
+    rows actually used (tri blocks carry 6 reserved rows)."""
     tile = table_ref[idx // LANES]
-    rows = tile.shape[0]
+    if rows is None:
+        rows = tile.shape[0]
+    else:
+        tile = tile[:rows]
     mask = (
         jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == (idx % LANES)
     ).astype(jnp.float32)
@@ -262,16 +266,22 @@ def _fetch_row(table_ref, idx):
     return jnp.broadcast_to(picked, (rows, LANES))
 
 
-def _slab_test(vals, ox, oy, oz, ix, iy, iz, t_cap, off: int = 0):
-    """Packet ray-AABB. vals lane-replicated, box at rows [off, off+6); rays [8,128]."""
+def _slab_test(vals, oix, oiy, oiz, ix, iy, iz, t_cap, off: int = 0):
+    """Packet ray-AABB. vals lane-replicated, box at rows [off, off+6); rays
+    [8,128].  Takes the precomputed per-ray products o*inv_d (hoisted out of
+    the traversal loop) so each plane is one fma: t = fma(bound, inv_d, -oi).
+    The refactored rounding differs from (bound-o)*inv_d by ulps only where
+    |bound*inv_d| is huge (axis-parallel rays far from the slab), where the
+    enter/exit interval is huge too -- no false misses in practice, and the
+    hit itself is always decided by the exact Moller test."""
     lo_x, lo_y, lo_z = vals[off + 0 : off + 1, :], vals[off + 1 : off + 2, :], vals[off + 2 : off + 3, :]
     hi_x, hi_y, hi_z = vals[off + 3 : off + 4, :], vals[off + 4 : off + 5, :], vals[off + 5 : off + 6, :]
-    t0x = (lo_x - ox) * ix
-    t1x = (hi_x - ox) * ix
-    t0y = (lo_y - oy) * iy
-    t1y = (hi_y - oy) * iy
-    t0z = (lo_z - oz) * iz
-    t1z = (hi_z - oz) * iz
+    t0x = lo_x * ix - oix
+    t1x = hi_x * ix - oix
+    t0y = lo_y * iy - oiy
+    t1y = hi_y * iy - oiy
+    t0z = lo_z * iz - oiz
+    t1z = hi_z * iz - oiz
     tenter = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z)
     )
@@ -331,6 +341,7 @@ def _closest_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
 
     # Per-tile direction signs (one-time syncs): rays are octant-sorted
     # upstream, so the tile majority sign picks the true near child below.
@@ -347,8 +358,8 @@ def _closest_kernel(
         sp, bt, btri, bu, bv = state
         node = stack_ref[sp - 1]
         sp = sp - 1
-        vals = _fetch_row(nodes_ref, node)  # [8, 1]
-        box_hit = _slab_test(vals, ox, oy, oz, ix, iy, iz, bt)
+        vals = _fetch_row(nodes_ref, node, rows=7)  # [7, 128]
+        box_hit = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt)
         any_hit = jnp.any(box_hit)  # vector->scalar sync #1
         # round() before the int cast: the one-hot fetch goes through the MXU
         # whose f32 matmul is a bf16 multi-pass -- values can come back a few
@@ -361,7 +372,7 @@ def _closest_kernel(
 
         def leaf_body(k, carry):
             bt, btri, bu, bv = carry
-            tv = _fetch_row(tris_ref, meta + k)  # [16, 1]
+            tv = _fetch_row(tris_ref, meta + k, rows=10)  # [10, 128]
             h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
             take = h & box_hit
             tid = jnp.broadcast_to(tv[9:10, :], bt.shape)  # original id as f32
@@ -417,6 +428,7 @@ def _any_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
     tmax = tmax_ref[:]
 
     # Ejected/padded lanes never occlude; precompute so the all-done early
@@ -435,9 +447,9 @@ def _any_kernel(
         sp, occ, _ = state
         node = stack_ref[sp - 1]
         sp = sp - 1
-        vals = _fetch_row(nodes_ref, node)
+        vals = _fetch_row(nodes_ref, node, rows=7)
         cap = jnp.where(occ > 0.0, 0.0, tmax)  # retire occluded lanes
-        box_hit = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap)
+        box_hit = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap)
         any_hit = jnp.any(box_hit)
         enc = jnp.round(vals[6, 0]).astype(jnp.int32)
         field = jax.lax.rem(enc, 1 << META_SHIFT)
@@ -446,7 +458,7 @@ def _any_kernel(
         count = jnp.where(is_leaf, field, 0)
 
         def leaf_body(k, occ):
-            tv = _fetch_row(tris_ref, meta + k)
+            tv = _fetch_row(tris_ref, meta + k, rows=10)
             h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
             return jnp.where(h & box_hit, 1.0, occ)
 
@@ -492,6 +504,7 @@ def _closest_fat_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
     pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
     pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
     pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
@@ -505,9 +518,9 @@ def _closest_fat_kernel(
         sp, bt, btri, bu, bv = state
         iid = stack_ref[sp - 1]
         sp = sp - 1
-        vals = _fetch_row(fat_ref, iid)  # [16, 128]
-        box_l = _slab_test(vals, ox, oy, oz, ix, iy, iz, bt, off=0)
-        box_r = _slab_test(vals, ox, oy, oz, ix, iy, iz, bt, off=6)
+        vals = _fetch_row(fat_ref, iid, rows=15)  # [15, 128]
+        box_l = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt, off=0)
+        box_r = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt, off=6)
         any_l = jnp.any(box_l)
         any_r = jnp.any(box_r)
         fl, ml, fr, mr, om = _fat_decode(vals)
@@ -515,7 +528,7 @@ def _closest_fat_kernel(
         def make_leaf(first, box):
             def leaf_body(k, carry):
                 bt, btri, bu, bv = carry
-                tv = _fetch_row(tris_ref, first + k)
+                tv = _fetch_row(tris_ref, first + k, rows=10)
                 h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
                 take = h & box
                 tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
@@ -578,6 +591,7 @@ def _any_fat_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
     tmax = tmax_ref[:]
     dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
         jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
@@ -593,17 +607,17 @@ def _any_fat_kernel(
         sp, occ, _ = state
         iid = stack_ref[sp - 1]
         sp = sp - 1
-        vals = _fetch_row(fat_ref, iid)
+        vals = _fetch_row(fat_ref, iid, rows=15)
         cap = jnp.where(occ > 0.0, 0.0, tmax)
-        box_l = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap, off=0)
-        box_r = _slab_test(vals, ox, oy, oz, ix, iy, iz, cap, off=6)
+        box_l = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap, off=0)
+        box_r = _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap, off=6)
         any_l = jnp.any(box_l)
         any_r = jnp.any(box_r)
         fl, ml, fr, mr, _ = _fat_decode(vals)
 
         def make_leaf(first, box):
             def leaf_body(k, occ):
-                tv = _fetch_row(tris_ref, first + k)
+                tv = _fetch_row(tris_ref, first + k, rows=10)
                 h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
                 return jnp.where(h & box, 1.0, occ)
 
@@ -706,6 +720,8 @@ def _combo_fat_kernel(
     lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
     ibx, iby, ibz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
     ilx, ily, ilz = _safe_inv(lx), _safe_inv(ly), _safe_inv(lz)
+    obx, oby, obz = ox * ibx, oy * iby, oz * ibz
+    olx, oly, olz = ox * ilx, oy * ily, oz * ilz
     tmax_l = tmaxl_ref[:]
     # Near-child order follows the bounce direction (the closest-hit set);
     # the shadow set is any-hit and order-free.
@@ -722,12 +738,12 @@ def _combo_fat_kernel(
         sp, bt, btri, bu, bv, occ = state
         iid = stack_ref[sp - 1]
         sp = sp - 1
-        vals = _fetch_row(fat_ref, iid)
+        vals = _fetch_row(fat_ref, iid, rows=15)
         cap_l = jnp.where(occ > 0.0, 0.0, tmax_l)
-        bl_b = _slab_test(vals, ox, oy, oz, ibx, iby, ibz, bt, off=0)
-        br_b = _slab_test(vals, ox, oy, oz, ibx, iby, ibz, bt, off=6)
-        bl_l = _slab_test(vals, ox, oy, oz, ilx, ily, ilz, cap_l, off=0)
-        br_l = _slab_test(vals, ox, oy, oz, ilx, ily, ilz, cap_l, off=6)
+        bl_b = _slab_test(vals, obx, oby, obz, ibx, iby, ibz, bt, off=0)
+        br_b = _slab_test(vals, obx, oby, obz, ibx, iby, ibz, bt, off=6)
+        bl_l = _slab_test(vals, olx, oly, olz, ilx, ily, ilz, cap_l, off=0)
+        br_l = _slab_test(vals, olx, oly, olz, ilx, ily, ilz, cap_l, off=6)
         any_l = jnp.any(bl_b | bl_l)
         any_r = jnp.any(br_b | br_l)
         fl, ml, fr, mr, om = _fat_decode(vals)
@@ -735,7 +751,7 @@ def _combo_fat_kernel(
         def make_leaf(first, box_b, box_l):
             def leaf_body(k, carry):
                 bt, btri, bu, bv, occ = carry
-                tv = _fetch_row(tris_ref, first + k)
+                tv = _fetch_row(tris_ref, first + k, rows=10)
                 hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
                 take = hb & box_b
                 tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
