@@ -222,6 +222,92 @@ def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
     return {"fatnodes": fat, "tris": base["tris"]}
 
 
+def pack_bvh_fat4(bvh, tri_pos: np.ndarray) -> dict | None:
+    """Fat4 packing: each row holds FOUR grandchild slots' AABBs + metadata.
+
+    One level of the BVH2 is contracted per visit: a fat4 node for inner
+    node i carries the boxes of i's grandchildren (or a leaf child itself),
+    so the while loop runs ~2x fewer iterations than the fat(2) kernel.  The
+    intermediate (child) boxes are never slab-tested -- the classic wide-BVH
+    trade: slightly more total box tests for far fewer visits, which wins
+    when per-visit overhead (fetch, decode, syncs, loop) dominates.
+
+    Slots 0,1 = children of i's left child (or [left child, empty] when it
+    is a leaf); slots 2,3 likewise for the right child.
+
+    Row layout [32, 128] f32, fat4 node at block id>>7, lane id&127:
+      rows 0-23   slot k box at rows [6k, 6k+6): lo.xyz, hi.xyz
+      rows 24-27  enc per slot: leaf  -> first_tri * 32 + count (1..15)
+                               inner -> fat4_id * 32 + 16;  empty -> 0
+      row 28      order meta: om_self * 36 + om_l * 6 + om_r, each
+                  axis * 2 + left_is_lower for (this node, left child,
+                  right child); 0 when the child is a leaf (pair order
+                  is irrelevant -- slot 1/3 is the empty box).
+      rows 29-31  unused.
+    Returns None when the root is a leaf (caller uses the legacy kernel).
+    """
+    n = int(bvh.node_lo.shape[0])
+    is_leaf = bvh.node_count > 0
+    if n == 0 or is_leaf[0]:
+        return None
+
+    def pair_of(c):
+        """Child node c -> (slot node ids, om). Leaf -> [c, -1], om 0."""
+        if is_leaf[c]:
+            return [c, -1], 0
+        gl, gr = c + 1, int(bvh.node_right[c])
+        cl = (bvh.node_lo[gl] + bvh.node_hi[gl]) * 0.5
+        cr = (bvh.node_lo[gr] + bvh.node_hi[gr]) * 0.5
+        axis = int(np.argmax(np.abs(cr - cl)))
+        lower = int(cl[axis] <= cr[axis])
+        return [gl, gr], axis * 2 + lower
+
+    # BFS from the root over grandchild links; fat4 rows keyed by the inner
+    # node they expand, compact ids in visit order.
+    fat_id: dict[int, int] = {0: 0}
+    order: list[int] = [0]
+    slots_all: list[list[int]] = []
+    oms: list[tuple[int, int, int]] = []
+    qi = 0
+    while qi < len(order):
+        i = order[qi]
+        qi += 1
+        l, r = i + 1, int(bvh.node_right[i])
+        cl = (bvh.node_lo[l] + bvh.node_hi[l]) * 0.5
+        cr = (bvh.node_lo[r] + bvh.node_hi[r]) * 0.5
+        axis = int(np.argmax(np.abs(cr - cl)))
+        lower = int(cl[axis] <= cr[axis])
+        pl_, om_l = pair_of(l)
+        pr_, om_r = pair_of(r)
+        slots = pl_ + pr_
+        for s in slots:
+            if s >= 0 and not is_leaf[s] and s not in fat_id:
+                fat_id[s] = len(order)
+                order.append(s)
+        slots_all.append(slots)
+        oms.append((axis * 2 + lower, om_l, om_r))
+
+    ni = len(order)
+    nb = max((ni + LANES - 1) // LANES, 1)
+    flat = np.zeros((nb * LANES, 32), np.float32)
+    for row, (slots, (om_s, om_l, om_r)) in enumerate(zip(slots_all, oms)):
+        for k, s in enumerate(slots):
+            if s < 0:
+                continue  # empty slot: +/-0 box never hits, enc 0
+            flat[row, 6 * k : 6 * k + 3] = bvh.node_lo[s]
+            flat[row, 6 * k + 3 : 6 * k + 6] = bvh.node_hi[s]
+            if is_leaf[s]:
+                enc = int(bvh.node_first[s]) * (1 << META_SHIFT) + int(bvh.node_count[s])
+            else:
+                enc = fat_id[s] * (1 << META_SHIFT) + INNER_FIELD
+            assert enc < (1 << 24), "fat4 enc exceeds f32 exact range"
+            flat[row, 24 + k] = float(enc)
+        flat[row, 28] = float(om_s * 36 + om_l * 6 + om_r)
+    fat4 = np.ascontiguousarray(flat.reshape(nb, LANES, 32).transpose(0, 2, 1))
+    base = pack_bvh_for_pallas(bvh, tri_pos)
+    return {"fat4nodes": fat4, "tris": base["tris"]}
+
+
 def pack_rays(o, d):
     """[N, 3] rays -> SoA dict of [ceil(N/TILE)*SUB, 128] arrays + count."""
     n = o.shape[0]
@@ -244,25 +330,50 @@ def pack_rays(o, d):
 # ---------------------------------------------------------------------------
 
 
+import os as _os
+
+# Lane-select strategy for _fetch_row.  "vpu": mask + cross-lane sum (the
+# reference path, always exact).  "mxu": one-hot matvec at HIGHEST precision
+# -- the f32 operand is decomposed into bf16 triples whose products with the
+# exact 0/1 one-hot are individually exact, so the result is bit-exact for
+# every f32 table value while moving the reduction off the VPU's serial
+# cross-lane path onto the (otherwise idle) MXU.  A *default*-precision
+# matvec would truncate to one bf16 pass and corrupt child indices > 256;
+# that is the failure mode that originally forced the VPU path.
+_FETCH_MODE = _os.environ.get("NEB_FETCH_MODE", "vpu")
+
+
 def _fetch_row(table_ref, idx, rows: int | None = None):
     """Element idx's row, replicated across lanes -> [rows, 128].
 
-    Exactness matters: an MXU one-hot matvec would truncate the f32 table to
-    bf16 (child indices above 256 become unrepresentable -> traversal
-    corruption), so the lane is selected with a VPU mask + cross-lane sum and
-    then lane-broadcast.  Mosaic also can't broadcast [1,1]->[8,128] in one
-    op, which is why fields stay [1,128] lane-uniform slices downstream
-    (sublane-only broadcasts).  `rows` limits the mask+reduce to the leading
-    rows actually used (tri blocks carry 6 reserved rows)."""
+    Exactness matters (child indices / triangle ids ride in f32 rows), so
+    the lane select is either a VPU mask + cross-lane sum or an MXU one-hot
+    matvec at HIGHEST precision (see _FETCH_MODE above) -- both bit-exact.
+    Mosaic can't broadcast [1,1]->[8,128] in one op, which is why fields
+    stay [1,128] lane-uniform slices downstream (sublane-only broadcasts).
+    `rows` limits the select to the leading rows actually used (tri blocks
+    carry 6 reserved rows)."""
     tile = table_ref[idx // LANES]
     if rows is None:
         rows = tile.shape[0]
     else:
         tile = tile[:rows]
-    mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == (idx % LANES)
-    ).astype(jnp.float32)
-    picked = jnp.sum(tile * mask, axis=1, keepdims=True)  # [rows, 1] exact
+    if _FETCH_MODE == "mxu":
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) == (idx % LANES)
+        ).astype(jnp.float32)
+        picked = jax.lax.dot_general(
+            tile,
+            onehot,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [rows, 1] exact (one-hot x bf16-triple decomposition)
+    else:
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == (idx % LANES)
+        ).astype(jnp.float32)
+        picked = jnp.sum(tile * mask, axis=1, keepdims=True)  # [rows, 1] exact
     return jnp.broadcast_to(picked, (rows, LANES))
 
 
@@ -705,6 +816,239 @@ def pallas_any_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fals
 # any-hit for the shadow direction; per-set box gates keep leaf work
 # identical to the separate kernels.
 # ---------------------------------------------------------------------------
+
+
+def _fat4_decode(vals):
+    """Scalar metadata extracts for the fat4 kernels (5 syncs)."""
+    encs = [jnp.round(vals[24 + k, 0]).astype(jnp.int32) for k in range(4)]
+    om = jnp.round(vals[28, 0]).astype(jnp.int32)
+    fields = [jax.lax.rem(e, 1 << META_SHIFT) for e in encs]
+    metas = [jax.lax.div(e, 1 << META_SHIFT) for e in encs]
+    om_s = jax.lax.div(om, 36)
+    rest = jax.lax.rem(om, 36)
+    om_l = jax.lax.div(rest, 6)
+    om_r = jax.lax.rem(rest, 6)
+    return fields, metas, om_s, om_l, om_r
+
+
+def _near_first(om, pos_x, pos_y, pos_z):
+    """True when the first element of an (om-described) pair is nearer along
+    the tile's majority direction sign."""
+    axis = jax.lax.div(om, 2)
+    lower = jax.lax.rem(om, 2) > 0
+    d_pos = jnp.where(axis == 0, pos_x, jnp.where(axis == 1, pos_y, pos_z))
+    return jnp.logical_not(jnp.logical_xor(d_pos, lower))
+
+
+def _closest_fat4_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    fat_ref, tris_ref,
+    t_out, tri_out, u_out, v_out,
+    stack_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+    pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
+    pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
+    pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
+
+    stack_ref[0] = 0  # root fat4 id
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, bt, btri, bu, bv = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid, rows=29)  # [29, 128]
+        boxes = [
+            _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt, off=6 * k) for k in range(4)
+        ]
+        anys = [jnp.any(b) for b in boxes]
+        fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
+
+        def make_leaf(first, box):
+            def leaf_body(k, carry):
+                bt, btri, bu, bv = carry
+                tv = _fetch_row(tris_ref, first + k, rows=10)
+                h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                take = h & box
+                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                return (
+                    jnp.where(take, t, bt),
+                    jnp.where(take, tid, btri),
+                    jnp.where(take, u, bu),
+                    jnp.where(take, v, bv),
+                )
+
+            return leaf_body
+
+        carry = (bt, btri, bu, bv)
+        for k in range(4):
+            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
+            carry = jax.lax.fori_loop(0, n_k, make_leaf(metas[k], boxes[k]), carry)
+        bt, btri, bu, bv = carry
+
+        # Push hit inner slots, global near order (near pair's near on top).
+        ns = _near_first(om_s, pos_x, pos_y, pos_z)
+        nl = _near_first(om_l, pos_x, pos_y, pos_z)
+        nr = _near_first(om_r, pos_x, pos_y, pos_z)
+        oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
+        idL_n = jnp.where(nl, metas[0], metas[1])
+        idL_f = jnp.where(nl, metas[1], metas[0])
+        okL_n = jnp.where(nl, oks[0], oks[1])
+        okL_f = jnp.where(nl, oks[1], oks[0])
+        idR_n = jnp.where(nr, metas[2], metas[3])
+        idR_f = jnp.where(nr, metas[3], metas[2])
+        okR_n = jnp.where(nr, oks[2], oks[3])
+        okR_f = jnp.where(nr, oks[3], oks[2])
+        push_ids = (
+            jnp.where(ns, idR_f, idL_f),
+            jnp.where(ns, idR_n, idL_n),
+            jnp.where(ns, idL_f, idR_f),
+            jnp.where(ns, idL_n, idR_n),
+        )
+        push_oks = (
+            jnp.where(ns, okR_f, okL_f),
+            jnp.where(ns, okR_n, okL_n),
+            jnp.where(ns, okL_f, okR_f),
+            jnp.where(ns, okL_n, okR_n),
+        )
+        for pid, pok in zip(push_ids, push_oks):
+            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+            stack_ref[sp_c] = pid
+            sp = jnp.where(pok, sp_c + 1, sp_c)
+        return sp, bt, btri, bu, bv
+
+    shape = ox.shape
+    init = (
+        jnp.int32(1),
+        tmax_ref[:],
+        jnp.full(shape, -1.0, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    tri_out[:] = jnp.round(btri).astype(jnp.int32)
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+def _any_fat4_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    fat_ref, tris_ref,
+    occ_out,
+    stack_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+    tmax = tmax_ref[:]
+    dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
+        jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
+    )
+
+    stack_ref[0] = 0
+
+    def cond(state):
+        sp, _, done_all = state
+        return (sp > 0) & jnp.logical_not(done_all)
+
+    def body(state):
+        sp, occ, _ = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid, rows=29)
+        cap = jnp.where(occ > 0.0, 0.0, tmax)
+        boxes = [
+            _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap, off=6 * k) for k in range(4)
+        ]
+        anys = [jnp.any(b) for b in boxes]
+        fields, metas, _, _, _ = _fat4_decode(vals)
+
+        def make_leaf(first, box):
+            def leaf_body(k, occ):
+                tv = _fetch_row(tris_ref, first + k, rows=10)
+                h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                return jnp.where(h & box, 1.0, occ)
+
+            return leaf_body
+
+        for k in range(4):
+            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
+            occ = jax.lax.fori_loop(0, n_k, make_leaf(metas[k], boxes[k]), occ)
+
+        for k in range(4):
+            ok = anys[k] & (fields[k] >= INNER_FIELD)
+            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+            stack_ref[sp_c] = metas[k]
+            sp = jnp.where(ok, sp_c + 1, sp_c)
+        done_all = jnp.all((occ > 0.0) | dead)
+        return sp, occ, done_all
+
+    init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(False))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = occ > 0.0
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    """Closest hit over a pack_bvh_fat4 table (same contract as
+    pallas_closest_hit)."""
+    rays, n_tiles, n = pack_rays(o, d)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
+    rs = _ray_spec()
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+    ]
+    t, tri, u, v = pl.pallas_call(
+        _closest_fat4_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
+        out_specs=[rs] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
+        packed["fat4nodes"], packed["tris"],
+    )
+    t = t.reshape(-1)[:n]
+    tri = tri.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    rays, n_tiles, n = pack_rays(o, d)
+    tmax = _tmax_tiles(t_max, n, n_tiles)
+    rs = _ray_spec()
+    occ = pl.pallas_call(
+        _any_fat4_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
+        out_specs=rs,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
+        packed["fat4nodes"], packed["tris"],
+    )
+    return occ.reshape(-1)[:n]
 
 
 def _combo_fat_kernel(

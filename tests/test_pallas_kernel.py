@@ -185,6 +185,69 @@ def test_pallas_fat_matches_legacy(soup_setup):
     np.testing.assert_array_equal(occ_leg, occ_fat)
 
 
+def test_pallas_fat4_matches_fat(soup_setup):
+    """Fat4 (grandchildren-at-node) kernels are bit-identical to fat(2) on
+    closest and any hit, including capped t_max."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_fat,
+        pack_bvh_fat4,
+        pallas_any_hit_fat,
+        pallas_any_hit_fat4,
+        pallas_closest_hit_fat,
+        pallas_closest_hit_fat4,
+    )
+
+    tri, _, _ = soup_setup
+    bvh = build_bvh(tri)
+    fat = {k: jnp.asarray(v) for k, v in pack_bvh_fat(bvh, tri).items()}
+    fat4 = {k: jnp.asarray(v) for k, v in pack_bvh_fat4(bvh, tri).items()}
+    o, d = _rays(1024, seed=23)
+    ref = pallas_closest_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, interpret=True)
+    out = pallas_closest_hit_fat4(jnp.asarray(o), jnp.asarray(d), fat4, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(ref[k]), posinf=1e30)
+        b = np.nan_to_num(np.asarray(out[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, b)
+    occ_ref = np.asarray(
+        pallas_any_hit_fat(jnp.asarray(o), jnp.asarray(d), fat, t_max=0.4, interpret=True)
+    )
+    occ4 = np.asarray(
+        pallas_any_hit_fat4(jnp.asarray(o), jnp.asarray(d), fat4, t_max=0.4, interpret=True)
+    )
+    np.testing.assert_array_equal(occ_ref, occ4)
+
+
+def test_pallas_mxu_fetch_matches_vpu(soup_setup):
+    """The MXU one-hot matvec lane select produces bit-identical traversal
+    results to the VPU mask+reduce path (interpret mode checks logic; the
+    real-chip exactness gate lives in _fat4bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nebulae_tpu.kernels import pallas_trace as pt
+
+    tri, packed, _ = soup_setup
+    o, d = _rays(1024, seed=29)
+    prev = pt._FETCH_MODE
+    try:
+        pt._FETCH_MODE = "vpu"
+        jax.clear_caches()
+        ref = pt.pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+        pt._FETCH_MODE = "mxu"
+        jax.clear_caches()
+        out = pt.pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    finally:
+        pt._FETCH_MODE = prev
+        jax.clear_caches()
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(ref[k]), posinf=1e30)
+        b = np.nan_to_num(np.asarray(out[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_fat_tmax_and_dead_rays(soup_setup):
     import jax.numpy as jnp
 
