@@ -1051,6 +1051,162 @@ def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fal
     return occ.reshape(-1)[:n]
 
 
+def _combo_fat4_kernel(
+    ox_ref, oy_ref, oz_ref,
+    bx_ref, by_ref, bz_ref, tmaxb_ref,
+    lx_ref, ly_ref, lz_ref, tmaxl_ref,
+    fat_ref, tris_ref,
+    t_out, tri_out, u_out, v_out, occ_out,
+    stack_ref,
+):
+    """Fused shadow+bounce walk over a fat4 table (see _combo_fat_kernel);
+    4 slots x 2 ray sets = 8 slab tests per visit, ~2x fewer visits."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
+    lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
+    ibx, iby, ibz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
+    ilx, ily, ilz = _safe_inv(lx), _safe_inv(ly), _safe_inv(lz)
+    obx, oby, obz = ox * ibx, oy * iby, oz * ibz
+    olx, oly, olz = ox * ilx, oy * ily, oz * ilz
+    tmax_l = tmaxl_ref[:]
+    pos_x = jnp.sum(jnp.sign(bx)) >= 0.0
+    pos_y = jnp.sum(jnp.sign(by)) >= 0.0
+    pos_z = jnp.sum(jnp.sign(bz)) >= 0.0
+
+    stack_ref[0] = 0
+
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        sp, bt, btri, bu, bv, occ = state
+        iid = stack_ref[sp - 1]
+        sp = sp - 1
+        vals = _fetch_row(fat_ref, iid, rows=29)
+        cap_l = jnp.where(occ > 0.0, 0.0, tmax_l)
+        boxes_b = [
+            _slab_test(vals, obx, oby, obz, ibx, iby, ibz, bt, off=6 * k) for k in range(4)
+        ]
+        boxes_l = [
+            _slab_test(vals, olx, oly, olz, ilx, ily, ilz, cap_l, off=6 * k)
+            for k in range(4)
+        ]
+        anys = [jnp.any(b | s) for b, s in zip(boxes_b, boxes_l)]
+        fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
+
+        def make_leaf(first, box_b, box_l):
+            def leaf_body(k, carry):
+                bt, btri, bu, bv, occ = carry
+                tv = _fetch_row(tris_ref, first + k, rows=10)
+                hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
+                take = hb & box_b
+                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                bt = jnp.where(take, t, bt)
+                btri = jnp.where(take, tid, btri)
+                bu = jnp.where(take, u, bu)
+                bv = jnp.where(take, v, bv)
+                hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
+                occ = jnp.where(hl & box_l, 1.0, occ)
+                return bt, btri, bu, bv, occ
+
+            return leaf_body
+
+        carry = (bt, btri, bu, bv, occ)
+        for k in range(4):
+            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
+            carry = jax.lax.fori_loop(
+                0, n_k, make_leaf(metas[k], boxes_b[k], boxes_l[k]), carry
+            )
+        bt, btri, bu, bv, occ = carry
+
+        ns = _near_first(om_s, pos_x, pos_y, pos_z)
+        nl = _near_first(om_l, pos_x, pos_y, pos_z)
+        nr = _near_first(om_r, pos_x, pos_y, pos_z)
+        oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
+        idL_n = jnp.where(nl, metas[0], metas[1])
+        idL_f = jnp.where(nl, metas[1], metas[0])
+        okL_n = jnp.where(nl, oks[0], oks[1])
+        okL_f = jnp.where(nl, oks[1], oks[0])
+        idR_n = jnp.where(nr, metas[2], metas[3])
+        idR_f = jnp.where(nr, metas[3], metas[2])
+        okR_n = jnp.where(nr, oks[2], oks[3])
+        okR_f = jnp.where(nr, oks[3], oks[2])
+        push_ids = (
+            jnp.where(ns, idR_f, idL_f),
+            jnp.where(ns, idR_n, idL_n),
+            jnp.where(ns, idL_f, idR_f),
+            jnp.where(ns, idL_n, idR_n),
+        )
+        push_oks = (
+            jnp.where(ns, okR_f, okL_f),
+            jnp.where(ns, okR_n, okL_n),
+            jnp.where(ns, okL_f, okR_f),
+            jnp.where(ns, okL_n, okR_n),
+        )
+        for pid, pok in zip(push_ids, push_oks):
+            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+            stack_ref[sp_c] = pid
+            sp = jnp.where(pok, sp_c + 1, sp_c)
+        return sp, bt, btri, bu, bv, occ
+
+    shape = ox.shape
+    init = (
+        jnp.int32(1),
+        tmaxb_ref[:],
+        jnp.full(shape, -1.0, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    _, bt, btri, bu, bv, occ = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    tri_out[:] = jnp.round(btri).astype(jnp.int32)
+    u_out[:] = bu
+    v_out[:] = bv
+    occ_out[:] = occ > 0.0
+
+
+def pallas_shadow_closest_fat4(
+    o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
+):
+    """Fused shadow+bounce traversal over a pack_bvh_fat4 table (same
+    contract as pallas_shadow_closest_fat)."""
+    rays_o, n_tiles, n = pack_rays(o, b)
+    rays_l, _, _ = pack_rays(o, l)
+    tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
+    tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
+    rs = _ray_spec()
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
+    ]
+    t, tri, u, v, occ = pl.pallas_call(
+        _combo_fat4_kernel,
+        grid=(n_tiles,),
+        in_specs=[rs] * 11 + [_table_spec(), _table_spec()],
+        out_specs=[rs] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        rays_o["ox"], rays_o["oy"], rays_o["oz"],
+        rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
+        rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl,
+        packed["fat4nodes"], packed["tris"],
+    )
+    t = t.reshape(-1)[:n]
+    tri = tri.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    occ = occ.reshape(-1)[:n]
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}, occ
+
+
 def _combo_fat_kernel(
     ox_ref, oy_ref, oz_ref,
     bx_ref, by_ref, bz_ref, tmaxb_ref,

@@ -220,6 +220,36 @@ def test_pallas_fat4_matches_fat(soup_setup):
     np.testing.assert_array_equal(occ_ref, occ4)
 
 
+def test_pallas_combo_fat4_matches_fat4(soup_setup):
+    """Fused shadow+bounce fat4 kernel matches the separate fat4 kernels."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_fat4,
+        pallas_any_hit_fat4,
+        pallas_closest_hit_fat4,
+        pallas_shadow_closest_fat4,
+    )
+
+    tri, _, _ = soup_setup
+    bvh = build_bvh(tri)
+    fat4 = {k: jnp.asarray(v) for k, v in pack_bvh_fat4(bvh, tri).items()}
+    o, b = _rays(1024, seed=31)
+    _, l = _rays(1024, seed=37)
+    hit_c, occ_c = pallas_shadow_closest_fat4(
+        jnp.asarray(o), jnp.asarray(b), jnp.asarray(l), fat4,
+        t_max_l=0.5, interpret=True,
+    )
+    hit_s = pallas_closest_hit_fat4(jnp.asarray(o), jnp.asarray(b), fat4, interpret=True)
+    occ_s = pallas_any_hit_fat4(jnp.asarray(o), jnp.asarray(l), fat4, t_max=0.5, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(hit_s[k]), posinf=1e30)
+        c = np.nan_to_num(np.asarray(hit_c[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_c))
+
+
 def test_pallas_mxu_fetch_matches_vpu(soup_setup):
     """The MXU one-hot matvec lane select produces bit-identical traversal
     results to the VPU mask+reduce path (interpret mode checks logic; the
