@@ -100,6 +100,11 @@ class RenderConfig:
     # frame-neutral on the bench scene (in-frame shadow packets are coherent
     # and partially dead), so the default shares the closest-hit BVH (0).
     bvh_any_max_leaf: int = 0
+    # Fat-node width for the Pallas traversal tables: 2 = children-at-parent
+    # (one BVH level per visit), 4 = grandchildren-at-node (two levels per
+    # visit, ~2x fewer while-loop iterations at slightly more total slab
+    # tests).  Applies to the main tree, the any-hit tree, and chunks.
+    bvh_wide: int = 2
 
 
 if struct is not None:

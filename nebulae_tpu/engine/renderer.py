@@ -229,28 +229,34 @@ class Renderer:
                 SINGLE_TABLE_MAX_TRIS,
                 pack_bvh_chunks,
                 pack_bvh_fat,
+                pack_bvh_fat4,
                 pack_bvh_for_pallas,
             )
 
+            pack_fat = pack_bvh_fat4 if cfg.bvh_wide == 4 else pack_bvh_fat
             flat_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_max_leaf)
             bvh = flat_bvh.device_arrays()
             if t_count > SINGLE_TABLE_MAX_TRIS:
                 # Sponza-class: VMEM-sized subtree chunks for the kernel.
-                bvh["chunks"] = pack_bvh_chunks(flat_bvh, flat_scene.tri_pos)
+                bvh["chunks"] = pack_bvh_chunks(
+                    flat_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide
+                )
             else:
                 # Fat children-at-parent layout (2x fewer kernel iterations);
                 # legacy one-node layout when the whole tree is a single leaf.
                 bvh.update(
-                    pack_bvh_fat(flat_bvh, flat_scene.tri_pos)
+                    pack_fat(flat_bvh, flat_scene.tri_pos)
                     or pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos)
                 )
             if cfg.bvh_any_max_leaf and cfg.bvh_any_max_leaf != cfg.bvh_max_leaf:
                 # Coarser second tree for occlusion (any-hit) rays.
                 any_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_any_max_leaf)
                 if t_count > SINGLE_TABLE_MAX_TRIS:
-                    bvh["any_chunks"] = pack_bvh_chunks(any_bvh, flat_scene.tri_pos)
+                    bvh["any_chunks"] = pack_bvh_chunks(
+                        any_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide
+                    )
                 else:
-                    bvh["any"] = pack_bvh_fat(any_bvh, flat_scene.tri_pos) or pack_bvh_for_pallas(
+                    bvh["any"] = pack_fat(any_bvh, flat_scene.tri_pos) or pack_bvh_for_pallas(
                         any_bvh, flat_scene.tri_pos
                     )
 

@@ -113,7 +113,9 @@ MAX_CHUNK_TRIS = 96 * 1024  # per-chunk VMEM budget (~6 MB tris + ~2 MB nodes)
 SINGLE_TABLE_MAX_TRIS = 160 * 1024  # beyond this, chunk (whole table > ~12 MB)
 
 
-def pack_bvh_chunks(bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS) -> list[dict]:
+def pack_bvh_chunks(
+    bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS, wide: int = 2
+) -> list[dict]:
     """Cut the BVH into VMEM-sized subtree chunks; pack each for the kernel.
 
     Scenes beyond ~150k triangles overflow VMEM as a single table
@@ -156,9 +158,10 @@ def pack_bvh_chunks(bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS) ->
             node_right=np.where(leaf_mask, -1, bvh.node_right[r:e] - r).astype(np.int64),
             tri_index=bvh.tri_index[tri_base : tri_base + tri_cnt],
         )
-        # Fat (children-at-parent) layout when the chunk root is inner;
-        # single-leaf chunks keep the legacy one-node layout.
-        chunks.append(pack_bvh_fat(sub, tri_pos) or pack_bvh_for_pallas(sub, tri_pos))
+        # Fat (children-at-parent, or fat4 grandchildren) layout when the
+        # chunk root is inner; single-leaf chunks keep the legacy layout.
+        pack_fat = pack_bvh_fat4 if wide == 4 else pack_bvh_fat
+        chunks.append(pack_fat(sub, tri_pos) or pack_bvh_for_pallas(sub, tri_pos))
     return chunks
 
 
@@ -1432,12 +1435,22 @@ def pallas_any_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
 
 
 def _chunk_closest(o, d, c, t_max, interpret):
-    fn = pallas_closest_hit_fat if "fatnodes" in c else pallas_closest_hit
+    if "fat4nodes" in c:
+        fn = pallas_closest_hit_fat4
+    elif "fatnodes" in c:
+        fn = pallas_closest_hit_fat
+    else:
+        fn = pallas_closest_hit
     return fn(o, d, c, t_max=t_max, interpret=interpret)
 
 
 def _chunk_any(o, d, c, t_max, interpret):
-    fn = pallas_any_hit_fat if "fatnodes" in c else pallas_any_hit
+    if "fat4nodes" in c:
+        fn = pallas_any_hit_fat4
+    elif "fatnodes" in c:
+        fn = pallas_any_hit_fat
+    else:
+        fn = pallas_any_hit
     return fn(o, d, c, t_max=t_max, interpret=interpret)
 
 
@@ -1455,7 +1468,11 @@ def pallas_shadow_closest_chunks(
     for c in chunks:
         cap_b = tb if best is None else jnp.minimum(best["t"], tb)
         cap_l = jnp.where(occ, 0.0, tl)
-        if "fatnodes" in c:
+        if "fat4nodes" in c:
+            hit, o2 = pallas_shadow_closest_fat4(
+                o, b, l, c, t_max_b=cap_b, t_max_l=cap_l, interpret=interpret
+            )
+        elif "fatnodes" in c:
             hit, o2 = pallas_shadow_closest_fat(
                 o, b, l, c, t_max_b=cap_b, t_max_l=cap_l, interpret=interpret
             )

@@ -224,7 +224,8 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
     """
     t_count = scene["tri_pos"].shape[0]
     has_packed = bvh is not None and (
-        "chunks" in bvh or (("nodes" in bvh or "fatnodes" in bvh) and "tris" in bvh)
+        "chunks" in bvh
+        or (("nodes" in bvh or "fatnodes" in bvh or "fat4nodes" in bvh) and "tris" in bvh)
     )
     mode = cfg.tracer
     if mode == "auto":
@@ -246,11 +247,14 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             pallas_any_chunks,
             pallas_any_hit,
             pallas_any_hit_fat,
+            pallas_any_hit_fat4,
             pallas_closest_chunks,
             pallas_closest_hit,
             pallas_closest_hit_fat,
+            pallas_closest_hit_fat4,
             pallas_shadow_closest_chunks,
             pallas_shadow_closest_fat,
+            pallas_shadow_closest_fat4,
         )
 
         assert has_packed, "packed tables required for tracer='pallas'"
@@ -263,6 +267,17 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
                 return pallas_shadow_closest_chunks(
                     o, b, l, bvh["chunks"], t_max_b=t_max_b, t_max_l=t_max_l,
                     interpret=interpret,
+                )
+
+            closest = _with_combo(closest, combo)
+        elif "fat4nodes" in bvh:  # grandchildren-at-node layout (bvh_wide=4)
+            packed = {"fat4nodes": bvh["fat4nodes"], "tris": bvh["tris"]}
+            closest = partial(pallas_closest_hit_fat4, packed=packed, interpret=interpret)
+            any_hit = partial(pallas_any_hit_fat4, packed=packed, interpret=interpret)
+
+            def combo(o, b, l, t_max_b, t_max_l):
+                return pallas_shadow_closest_fat4(
+                    o, b, l, packed, t_max_b=t_max_b, t_max_l=t_max_l, interpret=interpret
                 )
 
             closest = _with_combo(closest, combo)
@@ -286,7 +301,12 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         if "any_chunks" in bvh:
             any_hit = partial(pallas_any_chunks, chunks=bvh["any_chunks"], interpret=interpret)
         elif "any" in bvh:
-            fn = pallas_any_hit_fat if "fatnodes" in bvh["any"] else pallas_any_hit
+            if "fat4nodes" in bvh["any"]:
+                fn = pallas_any_hit_fat4
+            elif "fatnodes" in bvh["any"]:
+                fn = pallas_any_hit_fat
+            else:
+                fn = pallas_any_hit
             any_hit = partial(fn, packed=bvh["any"], interpret=interpret)
     else:
         raise ValueError(f"unknown tracer mode: {mode}")

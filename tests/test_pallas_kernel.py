@@ -157,6 +157,23 @@ def test_renderer_chunked_matches_single(cornell_scene, cornell_camera):
     np.testing.assert_allclose(img1, img2, rtol=1e-5, atol=1e-6)
 
 
+def test_renderer_wide4_matches_wide2(cornell_scene, cornell_camera):
+    """Full Renderer parity: bvh_wide=4 (fat4 tables + combo) vs default."""
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer
+
+    fs = cornell_scene.flat
+    base = dict(
+        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas",
+    )
+    img2 = np.asarray(Renderer(fs, RenderConfig(**base)).render(cornell_camera)["hdr"])
+    img4 = np.asarray(
+        Renderer(fs, RenderConfig(**base, bvh_wide=4)).render(cornell_camera)["hdr"]
+    )
+    np.testing.assert_allclose(img2, img4, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_fat_matches_legacy(soup_setup):
     """Fat (children-at-parent) kernels are bit-identical to the legacy
     one-node-per-visit kernels on closest and any hit."""
