@@ -76,6 +76,42 @@ def test_pallas_chunked_matches_single(soup_setup):
     )
 
 
+def test_pallas_chunked_fat4_matches_single(soup_setup):
+    """wide=4 chunks (fat4 tables per subtree) match the single table."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_chunks,
+        pallas_closest_chunks,
+        pallas_closest_hit,
+        pallas_shadow_closest_chunks,
+    )
+
+    tri, packed, _ = soup_setup
+    bvh = build_bvh(tri)
+    chunks4 = [
+        {k: jnp.asarray(v) for k, v in c.items()}
+        for c in pack_bvh_chunks(bvh, tri, max_tris=256, wide=4)
+    ]
+    assert any("fat4nodes" in c for c in chunks4)
+    o, d = _rays(1024, seed=9)
+    one = pallas_closest_hit(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    many = pallas_closest_chunks(jnp.asarray(o), jnp.asarray(d), chunks4, interpret=True)
+    hit = np.asarray(one["tri"]) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(many["tri"]) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(one["t"])[hit], np.asarray(many["t"])[hit], rtol=1e-5, atol=1e-6
+    )
+    _, l = _rays(1024, seed=41)
+    hit_c, occ_c = pallas_shadow_closest_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(l), chunks4, t_max_l=0.5, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_c["tri"]) >= 0, hit
+    )
+
+
 def test_pallas_any_hit_matches_oracle(soup_setup):
     import jax.numpy as jnp
 
