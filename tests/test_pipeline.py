@@ -131,7 +131,12 @@ def test_svgf_differentiable_and_denoises(setup):
     from nebulae_tpu.passes.gbuffer import make_camera_arrays
 
     scene_np, scene_jx, sun, sun_jx, camera = setup
-    cfg = RenderConfig(width=64, height=64, spp=1, max_bounces=3, enable_svgf=True, enable_tonemap=False)
+    # 5-level a-trous: the BASELINE.json config ladder asks for one more
+    # dilation level than the reference's 4 (SVGFDenoiser.h:199).
+    cfg = RenderConfig(
+        width=64, height=64, spp=1, max_bounces=3, enable_svgf=True,
+        enable_tonemap=False, svgf_atrous_passes=5,
+    )
     cam = make_camera_arrays(camera, cfg.width, cfg.height)
     state = init_frame_state(cfg)
     frame_fn = jax.jit(lambda s, su, c, st: render_frame(s, None, su, c, st, cfg))
