@@ -91,6 +91,26 @@ def main() -> None:
         float(out["ldr"].mean())
     fwd_orbit_s = (time.perf_counter() - t0) / n_iter
 
+    # --- forward with the neural radiance cache on (the reference's
+    # headline GI mode: query pass + online cache training in-frame).
+    # Timed for the detail line; isolated so a failure never kills the
+    # primary metric.
+    nrc_fwd_s = None
+    try:
+        from dataclasses import replace as _replace
+
+        cfg_nrc = _replace(cfg, enable_nrc=True)
+        renderer_nrc = Renderer(fs, cfg_nrc, bvh=renderer.bvh)
+        out = renderer_nrc.render(cam_obj)
+        float(out["ldr"].mean())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = renderer_nrc.render(cam_obj)
+            float(out["ldr"].mean())
+        nrc_fwd_s = (time.perf_counter() - t0) / 3
+    except Exception:
+        pass
+
     # --- forward + backward (full train step) ---
     params, frozen = split_scene_params(renderer.scene)
     params["sun"] = renderer.sun
@@ -120,6 +140,7 @@ def main() -> None:
             "fwd_mrays_s": round(fwd_mrays, 2),
             "fwd_frame_ms": round(fwd_s * 1e3, 1),
             "fwd_orbit_frame_ms": round(fwd_orbit_s * 1e3, 1),
+            "nrc_fwd_frame_ms": round(nrc_fwd_s * 1e3, 1) if nrc_fwd_s else None,
             "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
             "rays_per_frame": rays_per_frame,
             "triangles": int(fs.num_triangles),
