@@ -95,6 +95,30 @@ def repack_pallas_fat_bounds(fatnodes, node_lo, node_hi, inner_idx, node_right):
     return jnp.transpose(flat.reshape(nb, lanes, rows), (0, 2, 1))
 
 
+def repack_pallas_fat4_bounds(fat4nodes, node_lo, node_hi, fat4_slots):
+    """Write refitted bounds into a fat4 table [Nb, 32, 128]
+    (kernels.pallas_trace.pack_bvh_fat4 layout): each row holds four
+    grandchild slots' AABBs at rows [6k, 6k+6).  `fat4_slots` is the
+    host-static [Nb*128, 4] slot->node-id map returned by the packer
+    (-1 = empty slot, kept as a +/-0 never-hit box)."""
+    slots = np.asarray(fat4_slots)
+    nb, rows, lanes = fat4nodes.shape
+    flat = jnp.transpose(fat4nodes, (0, 2, 1)).reshape(nb * lanes, rows)
+    n = node_lo.shape[0]
+    parts = []
+    for k in range(4):
+        sid = slots[:, k]
+        valid = (sid >= 0)[:, None]
+        sid_c = np.clip(sid, 0, max(n - 1, 0))
+        lo = jnp.where(valid, node_lo[sid_c], 0.0)
+        hi = jnp.where(valid, node_hi[sid_c], 0.0)
+        parts.append(lo)
+        parts.append(hi)
+    bounds = jnp.concatenate(parts, axis=1)  # [Nb*128, 24]
+    flat = flat.at[:, 0:24].set(bounds)
+    return jnp.transpose(flat.reshape(nb, lanes, rows), (0, 2, 1))
+
+
 def repack_pallas_bounds(packed_nodes, node_lo, node_hi):
     """Write refitted bounds into the lane-packed Pallas node table
     [Nb, 8, 128] (kernels.pallas_trace layout), keeping metadata rows."""

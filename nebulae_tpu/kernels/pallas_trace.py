@@ -308,7 +308,12 @@ def pack_bvh_fat4(bvh, tri_pos: np.ndarray) -> dict | None:
         flat[row, 28] = float(om_s * 36 + om_l * 6 + om_r)
     fat4 = np.ascontiguousarray(flat.reshape(nb, LANES, 32).transpose(0, 2, 1))
     base = pack_bvh_for_pallas(bvh, tri_pos)
-    return {"fat4nodes": fat4, "tris": base["tris"]}
+    # fat4_slots: original node id per slot (-1 = empty), for device-side
+    # bound repack after a refit (bvh.refit.repack_pallas_fat4_bounds).
+    slot_ids = np.full((nb * LANES, 4), -1, np.int32)
+    for row, slots in enumerate(slots_all):
+        slot_ids[row] = slots
+    return {"fat4nodes": fat4, "tris": base["tris"], "fat4_slots": slot_ids}
 
 
 def pack_rays(o, d):

@@ -70,6 +70,35 @@ def test_repack_pallas_bounds(cornell_scene):
     np.testing.assert_array_equal(flat[:, 6], orig[:, 6])
 
 
+def test_repack_pallas_fat4_bounds(cornell_scene):
+    from nebulae_tpu.bvh.cbuilder import build_bvh_fast
+    from nebulae_tpu.bvh.refit import compute_levels, refit_bvh, repack_pallas_fat4_bounds
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_fat4
+
+    tri = cornell_scene.flat.tri_pos
+    bvh = build_bvh_fast(tri)
+    fat4 = pack_bvh_fat4(bvh, tri)
+    dev = {k: jnp.asarray(v) for k, v in bvh.device_arrays().items()}
+    moved = tri + np.float32(1.5)
+    lo, hi = refit_bvh(dev, jnp.asarray(moved), compute_levels(bvh))
+    out = np.asarray(
+        repack_pallas_fat4_bounds(
+            jnp.asarray(fat4["fat4nodes"]), lo, hi, fat4["fat4_slots"]
+        )
+    )
+    flat = out.transpose(0, 2, 1).reshape(-1, 32)
+    slots = np.asarray(fat4["fat4_slots"])
+    lo_np, hi_np = np.asarray(lo), np.asarray(hi)
+    for k in range(4):
+        sid = slots[:, k]
+        v = sid >= 0
+        np.testing.assert_allclose(flat[v, 6 * k : 6 * k + 3], lo_np[sid[v]], rtol=1e-6)
+        np.testing.assert_allclose(flat[v, 6 * k + 3 : 6 * k + 6], hi_np[sid[v]], rtol=1e-6)
+        assert (flat[~v, 6 * k : 6 * k + 6] == 0).all()
+    orig = np.asarray(fat4["fat4nodes"]).transpose(0, 2, 1).reshape(-1, 32)
+    np.testing.assert_array_equal(flat[:, 24:29], orig[:, 24:29])
+
+
 def test_repack_pallas_fat_bounds(cornell_scene):
     from nebulae_tpu.bvh.cbuilder import build_bvh_fast
     from nebulae_tpu.bvh.refit import compute_levels, refit_bvh, repack_pallas_fat_bounds
