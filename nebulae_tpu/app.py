@@ -50,6 +50,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--svgf-alpha", type=float, default=0.9)
     p.add_argument("--nrc-lr", type=float, default=1e-2)
     p.add_argument("--fast-bounce-shading", action="store_true")
+    p.add_argument("--bvh-wide", type=int, default=2, choices=[2, 4],
+                   help="fat traversal table width (children vs grandchildren per visit)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
@@ -91,6 +93,7 @@ def main(argv=None) -> int:
         svgf_temporal_alpha=args.svgf_alpha,
         nrc_learning_rate=args.nrc_lr,
         fast_bounce_shading=args.fast_bounce_shading,
+        bvh_wide=args.bvh_wide,
     )
 
     def _vec3(s):
