@@ -104,7 +104,10 @@ class RenderConfig:
     # (one BVH level per visit), 4 = grandchildren-at-node (two levels per
     # visit, ~2x fewer while-loop iterations at slightly more total slab
     # tests).  Applies to the main tree, the any-hit tree, and chunks.
-    bvh_wide: int = 2
+    # Measured on TPU v5e (2M rays, 139k tris, jitted): fat4 beats fat2 on
+    # every ray class -- primary closest 69 vs 77 ms, sorted bounce 156 vs
+    # 182, sorted shadow any 42 vs 47, fused shadow+bounce 178 vs 206.
+    bvh_wide: int = 4
 
 
 if struct is not None:

@@ -367,16 +367,20 @@ def _fetch_row(table_ref, idx, rows: int | None = None):
     else:
         tile = tile[:rows]
     if _FETCH_MODE == "mxu":
+        # [LANES, LANES] matrix whose every column is the same one-hot row
+        # select: (tile @ M)[i, j] = tile[i, idx] -- the result arrives
+        # already lane-replicated (Mosaic cannot broadcast a [rows, 1] dot
+        # output across lanes, so the replication must ride the matmul).
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) == (idx % LANES)
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) == (idx % LANES)
         ).astype(jnp.float32)
-        picked = jax.lax.dot_general(
+        return jax.lax.dot_general(
             tile,
             onehot,
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # [rows, 1] exact (one-hot x bf16-triple decomposition)
+        )  # [rows, LANES] exact (one nonzero per column; bf16-triple decomp)
     else:
         mask = (
             jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == (idx % LANES)
@@ -769,51 +773,26 @@ def pallas_closest_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = 
     pallas_closest_hit)."""
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-    ]
-    t, tri, u, v = pl.pallas_call(
+    out = _packed_call(
         _closest_fat_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=[rs] * 4,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["fatnodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["fatnodes"], packed["tris"]],
+        4, n_tiles, interpret,
     )
-    t = t.reshape(-1)[:n]
-    tri = tri.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    found = tri >= 0
-    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+    return _unpack_hit(out, n)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_any_hit_fat(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    occ = pl.pallas_call(
+    out = _packed_call(
         _any_fat_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=rs,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["fatnodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["fatnodes"], packed["tris"]],
+        1, n_tiles, interpret,
     )
-    return occ.reshape(-1)[:n]
+    return out[:, 0].reshape(-1)[:n] > 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -1012,51 +991,26 @@ def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool =
     pallas_closest_hit)."""
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-    ]
-    t, tri, u, v = pl.pallas_call(
+    out = _packed_call(
         _closest_fat4_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=[rs] * 4,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["fat4nodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["fat4nodes"], packed["tris"]],
+        4, n_tiles, interpret,
     )
-    t = t.reshape(-1)[:n]
-    tri = tri.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    found = tri >= 0
-    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+    return _unpack_hit(out, n)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    occ = pl.pallas_call(
+    out = _packed_call(
         _any_fat4_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=rs,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["fat4nodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["fat4nodes"], packed["tris"]],
+        1, n_tiles, interpret,
     )
-    return occ.reshape(-1)[:n]
+    return out[:, 0].reshape(-1)[:n] > 0.0
 
 
 def _combo_fat4_kernel(
@@ -1175,6 +1129,7 @@ def _combo_fat4_kernel(
     occ_out[:] = occ > 0.0
 
 
+@partial(jax.jit, static_argnames=("interpret",))
 def pallas_shadow_closest_fat4(
     o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
 ):
@@ -1184,35 +1139,15 @@ def pallas_shadow_closest_fat4(
     rays_l, _, _ = pack_rays(o, l)
     tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
     tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
-    rs = _ray_spec()
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
-    ]
-    t, tri, u, v, occ = pl.pallas_call(
+    out = _packed_call(
         _combo_fat4_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 11 + [_table_spec(), _table_spec()],
-        out_specs=[rs] * 5,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays_o["ox"], rays_o["oy"], rays_o["oz"],
-        rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
-        rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl,
-        packed["fat4nodes"], packed["tris"],
+        [rays_o["ox"], rays_o["oy"], rays_o["oz"],
+         rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
+         rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl],
+        [packed["fat4nodes"], packed["tris"]],
+        5, n_tiles, interpret,
     )
-    t = t.reshape(-1)[:n]
-    tri = tri.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    occ = occ.reshape(-1)[:n]
-    found = tri >= 0
-    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}, occ
+    return _unpack_hit(out, n), out[:, 4].reshape(-1)[:n] > 0.0
 
 
 def _combo_fat_kernel(
@@ -1330,35 +1265,15 @@ def pallas_shadow_closest_fat(
     rays_l, _, _ = pack_rays(o, l)
     tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
     tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
-    rs = _ray_spec()
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
-    ]
-    t, tri, u, v, occ = pl.pallas_call(
+    out = _packed_call(
         _combo_fat_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 11 + [_table_spec(), _table_spec()],
-        out_specs=[rs] * 5,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays_o["ox"], rays_o["oy"], rays_o["oz"],
-        rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
-        rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl,
-        packed["fatnodes"], packed["tris"],
+        [rays_o["ox"], rays_o["oy"], rays_o["oz"],
+         rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
+         rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl],
+        [packed["fatnodes"], packed["tris"]],
+        5, n_tiles, interpret,
     )
-    t = t.reshape(-1)[:n]
-    tri = tri.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    occ = occ.reshape(-1)[:n]
-    found = tri >= 0
-    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}, occ
+    return _unpack_hit(out, n), out[:, 4].reshape(-1)[:n] > 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -1373,6 +1288,94 @@ def _ray_spec():
 def _table_spec():
     # Whole table resident in VMEM, same for every grid step.
     return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Packed-operand calling convention.
+#
+# All ray components ride ONE [C*SUB, LANES] input block and all hit
+# channels ride ONE [R*SUB, LANES] f32 output block (tri ids and occlusion
+# flags are exact in f32: ids < 2^24).  The kernel bodies are unchanged --
+# adapters present row slices of the packed blocks through the tiny ref
+# protocol the bodies use (`ref[...]` read / write of the full tile).
+#
+# Measurement note that motivated this and turned out to matter more than
+# the packing itself: pallas_call dispatched EAGERLY (outside jit) runs up
+# to 6x slower than the identical call inside jit (fat4 combo: 1084 ms
+# eager vs 178 ms jitted at 2M rays/139k tris; the gap grows with operand
+# count).  Every public wrapper here is therefore jitted, and any
+# microbenchmark of these kernels MUST go through jit or it measures the
+# eager penalty, not the kernel (this poisoned several earlier perf-notes
+# comparisons, including the first fat4-combo measurements).
+# ---------------------------------------------------------------------------
+
+
+class _PackedIn:
+    """Row slice of the packed input block, posing as an input ref."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, idx):
+        return self._rows
+
+
+class _PackedOut:
+    """Row range of the packed f32 output block, posing as an output ref."""
+
+    def __init__(self, ref, lo):
+        self._ref, self._lo = ref, lo
+
+    def __setitem__(self, idx, val):
+        self._ref[self._lo : self._lo + SUB] = val.astype(jnp.float32)
+
+
+def _pack_ray_block(comps, n_tiles):
+    """C arrays of [n_tiles*SUB, LANES] -> [n_tiles*C*SUB, LANES], tile-major
+    (tile i's C components contiguous) so one BlockSpec row window covers a
+    packet's full ray state."""
+    c = len(comps)
+    stacked = jnp.stack([x.reshape(n_tiles, SUB, LANES) for x in comps], axis=1)
+    return stacked.reshape(n_tiles * c * SUB, LANES)
+
+
+def _packed_call(body, comps, tables, n_out, n_tiles, interpret):
+    """Run a traversal kernel body under the packed-operand convention.
+
+    body's positional contract: (*input refs, *table refs, *output refs,
+    stack scratch); returns [n_tiles, n_out, SUB*LANES] f32."""
+    n_comp = len(comps)
+    blk = _pack_ray_block(comps, n_tiles)
+    rspec = pl.BlockSpec((n_comp * SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((n_out * SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kern(rays_ref, *rest):
+        *table_refs, out_ref, stack_ref = rest
+        r = rays_ref[:]
+        ins = [_PackedIn(r[i * SUB : (i + 1) * SUB]) for i in range(n_comp)]
+        outs = [_PackedOut(out_ref, i * SUB) for i in range(n_out)]
+        body(*ins, *table_refs, *outs, stack_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[rspec] + [_table_spec()] * len(tables),
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * n_out * SUB, LANES), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(blk, *tables)
+    return out.reshape(n_tiles, n_out, SUB * LANES)
+
+
+def _unpack_hit(out, n):
+    """Packed [n_tiles, 4, SUB*LANES] -> hit-record dict."""
+    t = out[:, 0].reshape(-1)[:n]
+    tri = jnp.round(out[:, 1]).astype(jnp.int32).reshape(-1)[:n]
+    u = out[:, 2].reshape(-1)[:n]
+    v = out[:, 3].reshape(-1)[:n]
+    found = tri >= 0
+    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
 
 
 def _tmax_tiles(t_max, n, n_tiles):
@@ -1392,51 +1395,26 @@ def pallas_closest_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fals
     Returns dict(t, tri, u, v); tri in original ids, -1 = miss, t = +inf."""
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.float32),
-    ]
-    t, tri, u, v = pl.pallas_call(
+    out = _packed_call(
         _closest_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=[rs] * 4,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["nodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["nodes"], packed["tris"]],
+        4, n_tiles, interpret,
     )
-    t = t.reshape(-1)[:n]
-    tri = tri.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    found = tri >= 0
-    return {"t": jnp.where(found, t, jnp.inf), "tri": tri, "u": u, "v": v}
+    return _unpack_hit(out, n)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def pallas_any_hit(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
-    rs = _ray_spec()
-    occ = pl.pallas_call(
+    out = _packed_call(
         _any_kernel,
-        grid=(n_tiles,),
-        in_specs=[rs] * 7 + [_table_spec(), _table_spec()],
-        out_specs=rs,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * SUB, LANES), jnp.bool_),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-        interpret=interpret,
-    )(
-        rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax,
-        packed["nodes"], packed["tris"],
+        [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
+        [packed["nodes"], packed["tris"]],
+        1, n_tiles, interpret,
     )
-    return occ.reshape(-1)[:n]
+    return out[:, 0].reshape(-1)[:n] > 0.0
 
 
 def _chunk_closest(o, d, c, t_max, interpret):
