@@ -92,8 +92,10 @@ class RenderConfig:
     bruteforce_max_tris: int = 4096
     # BVH leaf size: bigger leaves trade sync-heavy node visits for dense
     # packet triangle tests in the Pallas kernel (max 15, encoding limit).
-    # Measured on TPU v5e: 8 is ~5-8% faster than 4 across ray classes.
-    bvh_max_leaf: int = 8
+    # Measured on TPU v5e under jit (tools/microbench.py): leaf 4 beats 8
+    # on sorted bounce (148 vs 154 ms) and fused combo (170 vs 176) and ties
+    # primary.  (The earlier leaf-8 pick came from eager-dispatch timings.)
+    bvh_max_leaf: int = 4
     # Any-hit (shadow) rays can use a second, coarser tree (occlusion only
     # needs *a* hit, so dense leaf tests beat descent: leaf 15 is ~30% faster
     # than 8 on synthetic sorted 1080p shadow packets) -- but measured

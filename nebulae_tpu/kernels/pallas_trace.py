@@ -52,7 +52,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8  # sublanes per tile
+import os as _os0
+
+# Sublane rows per packet (packet = SUB*LANES rays sharing one traversal
+# stack).  8 = one vreg per component.  Env override for microbench sweeps.
+SUB = int(_os0.environ.get("NEB_SUB", "8"))
 LANES = 128
 TILE = SUB * LANES  # rays per packet
 STACK_DEPTH = 128  # max tree depth + 1 (SAH trees of <=4M tris stay under)
