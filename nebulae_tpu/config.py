@@ -92,10 +92,15 @@ class RenderConfig:
     bruteforce_max_tris: int = 4096
     # BVH leaf size: bigger leaves trade sync-heavy node visits for dense
     # packet triangle tests in the Pallas kernel (max 15, encoding limit).
-    # Measured on TPU v5e under jit (tools/microbench.py): leaf 4 beats 8
-    # on sorted bounce (148 vs 154 ms) and fused combo (170 vs 176) and ties
-    # primary.  (The earlier leaf-8 pick came from eager-dispatch timings.)
-    bvh_max_leaf: int = 4
+    # Measured on TPU v5e under jit (tools/microbench.py) WITH tri grouping
+    # (bvh_tri_group=8): leaf 15 wins (sorted bounce 112 ms vs 148 at the
+    # old leaf-4/ungrouped default); without grouping leaf 4 is best.
+    bvh_max_leaf: int = 15
+    # Triangles per tri-table slot: the leaf loop fetches G triangles per
+    # iteration in one wide row (lane-select cost is per total row either
+    # way; per-fetch overhead and loop trip count divide by G).  Max leaf
+    # count is bvh_tri_group * 15 (slot-count encoding limit).
+    bvh_tri_group: int = 8
     # Any-hit (shadow) rays can use a second, coarser tree (occlusion only
     # needs *a* hit, so dense leaf tests beat descent: leaf 15 is ~30% faster
     # than 8 on synthetic sorted 1080p shadow packets) -- but measured

@@ -239,25 +239,31 @@ class Renderer:
             if t_count > SINGLE_TABLE_MAX_TRIS:
                 # Sponza-class: VMEM-sized subtree chunks for the kernel.
                 bvh["chunks"] = pack_bvh_chunks(
-                    flat_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide
+                    flat_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide,
+                    tri_group=cfg.bvh_tri_group,
                 )
             else:
                 # Fat children-at-parent layout (2x fewer kernel iterations);
                 # legacy one-node layout when the whole tree is a single leaf.
                 bvh.update(
-                    pack_fat(flat_bvh, flat_scene.tri_pos)
-                    or pack_bvh_for_pallas(flat_bvh, flat_scene.tri_pos)
+                    pack_fat(flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group)
+                    or pack_bvh_for_pallas(
+                        flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                    )
                 )
             if cfg.bvh_any_max_leaf and cfg.bvh_any_max_leaf != cfg.bvh_max_leaf:
                 # Coarser second tree for occlusion (any-hit) rays.
                 any_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_any_max_leaf)
                 if t_count > SINGLE_TABLE_MAX_TRIS:
                     bvh["any_chunks"] = pack_bvh_chunks(
-                        any_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide
+                        any_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide,
+                        tri_group=cfg.bvh_tri_group,
                     )
                 else:
-                    bvh["any"] = pack_fat(any_bvh, flat_scene.tri_pos) or pack_bvh_for_pallas(
-                        any_bvh, flat_scene.tri_pos
+                    bvh["any"] = pack_fat(
+                        any_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                    ) or pack_bvh_for_pallas(
+                        any_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
                     )
 
         def _to_dev(k, v):

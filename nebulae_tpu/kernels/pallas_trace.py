@@ -72,19 +72,66 @@ INNER_FIELD = 16  # inner field = 16 + axis*2 + left_is_lower
 # ---------------------------------------------------------------------------
 
 
-def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray) -> dict:
+def _grouped_tris(bvh, tri_pos: np.ndarray, tri_group: int):
+    """Group each leaf's triangle range into ceil(c/G) slots of G triangles.
+
+    Slot g of a leaf holds its (slot*G + g)-th triangle; short tails repeat
+    the leaf's last triangle (a duplicate hit is harmless for closest and
+    any-hit and keeps the kernel branch-free).  Returns
+    (tris [tb, 16*G, 128], slot_first [n], slot_count [n]) with slot_first/
+    slot_count per NODE (0 for inner nodes); G=1 reproduces the ungrouped
+    layout exactly.
+    """
+    G = int(tri_group)
+    n = bvh.node_lo.shape[0]
+    counts = np.asarray(bvh.node_count, np.int64)
+    leaf_nodes = np.nonzero(counts > 0)[0]
+    c = counts[leaf_nodes]
+    sc = (c + G - 1) // G
+    sf = np.zeros_like(sc)
+    if sc.size:
+        sf[1:] = np.cumsum(sc)[:-1]
+    ns = int(sc.sum())
+    slot_first = np.zeros(n, np.int64)
+    slot_count = np.zeros(n, np.int64)
+    slot_first[leaf_nodes] = sf
+    slot_count[leaf_nodes] = sc
+    assert slot_count.max(initial=0) <= MAX_LEAF_FIELD, (
+        "leaf slots exceed meta bits: raise bvh_tri_group or lower max_leaf"
+    )
+
+    tb = max((ns + LANES - 1) // LANES, 1)
+    flat = np.zeros((tb * LANES, 16 * G), np.float32)
+    if ns:
+        tperm = tri_pos[bvh.tri_index]
+        tid = np.asarray(bvh.tri_index, np.float32)
+        leaf_of_slot = np.repeat(np.arange(leaf_nodes.shape[0]), sc)
+        slot_in_leaf = np.arange(ns) - sf[leaf_of_slot]
+        base = np.asarray(bvh.node_first, np.int64)[leaf_nodes]
+        for g in range(G):
+            off = np.minimum(slot_in_leaf * G + g, c[leaf_of_slot] - 1)
+            sel = base[leaf_of_slot] + off  # permuted-order positions
+            tp = tperm[sel]
+            r0 = 16 * g
+            flat[:ns, r0 + 0 : r0 + 3] = tp[:, 0]
+            flat[:ns, r0 + 3 : r0 + 6] = tp[:, 1] - tp[:, 0]
+            flat[:ns, r0 + 6 : r0 + 9] = tp[:, 2] - tp[:, 0]
+            flat[:ns, r0 + 9] = tid[sel]
+    tris = np.ascontiguousarray(flat.reshape(tb, LANES, 16 * G).transpose(0, 2, 1))
+    return tris, slot_first, slot_count
+
+
+def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict:
     """FlatBVH + world triangles -> lane-packed VMEM tables (numpy)."""
     n = int(bvh.node_lo.shape[0])
-    t = int(bvh.tri_index.shape[0])  # == all tris, or the chunk's subset
+    tris, slot_first, slot_count = _grouped_tris(bvh, tri_pos, tri_group)
     nb = max((n + LANES - 1) // LANES, 1)
-    tb = max((t + LANES - 1) // LANES, 1)
-    assert bvh.node_count.max(initial=0) <= MAX_LEAF_FIELD, "leaf size exceeds meta bits"
 
     nodes_flat = np.zeros((nb * LANES, 8), np.float32)
     nodes_flat[:n, 0:3] = bvh.node_lo
     nodes_flat[:n, 3:6] = bvh.node_hi
     is_leaf = bvh.node_count > 0
-    first_or_right = np.where(is_leaf, bvh.node_first, bvh.node_right).astype(np.int64)
+    first_or_right = np.where(is_leaf, slot_first, bvh.node_right).astype(np.int64)
     # Inner-node split axis + side, derived from child AABB centers (the
     # builder puts lower-coordinate triangles in the left child along its
     # split axis, so argmax center separation recovers it).
@@ -94,22 +141,13 @@ def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray) -> dict:
     c_r = (bvh.node_lo[right] + bvh.node_hi[right]) * 0.5
     axis = np.argmax(np.abs(c_r - c_l), axis=-1)
     lower = (c_l[np.arange(n), axis] <= c_r[np.arange(n), axis]).astype(np.int64)
-    field = np.where(is_leaf, bvh.node_count.astype(np.int64), INNER_FIELD + axis * 2 + lower)
+    field = np.where(is_leaf, slot_count, INNER_FIELD + axis * 2 + lower)
     enc = first_or_right * (1 << META_SHIFT) + field
     assert enc.max(initial=0) < (1 << 24), "meta encoding exceeds f32 exact range"
     nodes_flat[:n, 6] = enc.astype(np.float32)
     # Padding lanes: enc = 0 -> field 0, neither leaf nor inner: never pushed,
     # and their bounds are +/-0 (slab test misses).
     nodes = np.ascontiguousarray(nodes_flat.reshape(nb, LANES, 8).transpose(0, 2, 1))
-
-    tperm = tri_pos[bvh.tri_index] if t else np.zeros((0, 3, 3), np.float32)
-    tris_flat = np.zeros((tb * LANES, 16), np.float32)
-    if t:
-        tris_flat[:t, 0:3] = tperm[:, 0]
-        tris_flat[:t, 3:6] = tperm[:, 1] - tperm[:, 0]
-        tris_flat[:t, 6:9] = tperm[:, 2] - tperm[:, 0]
-        tris_flat[:t, 9] = bvh.tri_index.astype(np.float32)
-    tris = np.ascontiguousarray(tris_flat.reshape(tb, LANES, 16).transpose(0, 2, 1))
     return {"nodes": nodes, "tris": tris}
 
 
@@ -118,7 +156,8 @@ SINGLE_TABLE_MAX_TRIS = 160 * 1024  # beyond this, chunk (whole table > ~12 MB)
 
 
 def pack_bvh_chunks(
-    bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS, wide: int = 2
+    bvh, tri_pos: np.ndarray, max_tris: int = MAX_CHUNK_TRIS, wide: int = 2,
+    tri_group: int = 1,
 ) -> list[dict]:
     """Cut the BVH into VMEM-sized subtree chunks; pack each for the kernel.
 
@@ -165,11 +204,14 @@ def pack_bvh_chunks(
         # Fat (children-at-parent, or fat4 grandchildren) layout when the
         # chunk root is inner; single-leaf chunks keep the legacy layout.
         pack_fat = pack_bvh_fat4 if wide == 4 else pack_bvh_fat
-        chunks.append(pack_fat(sub, tri_pos) or pack_bvh_for_pallas(sub, tri_pos))
+        chunks.append(
+            pack_fat(sub, tri_pos, tri_group=tri_group)
+            or pack_bvh_for_pallas(sub, tri_pos, tri_group=tri_group)
+        )
     return chunks
 
 
-def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
+def pack_bvh_fat(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict | None:
     """Fat-node packing: each row holds BOTH children's AABBs + metadata.
 
     The fat kernels test both children at the parent's visit and push only
@@ -192,6 +234,7 @@ def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
     is_leaf = bvh.node_count > 0
     if n == 0 or is_leaf[0]:
         return None
+    tris, slot_first, slot_count = _grouped_tris(bvh, tri_pos, tri_group)
     inner_idx = np.nonzero(~is_leaf)[0]
     ni = inner_idx.shape[0]
     inner_id = np.full(n, -1, np.int64)
@@ -201,7 +244,7 @@ def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
         leaf = is_leaf[c]
         return np.where(
             leaf,
-            bvh.node_first[c].astype(np.int64) * (1 << META_SHIFT) + bvh.node_count[c],
+            slot_first[c] * (1 << META_SHIFT) + slot_count[c],
             inner_id[c] * (1 << META_SHIFT) + INNER_FIELD,
         )
 
@@ -225,11 +268,10 @@ def pack_bvh_fat(bvh, tri_pos: np.ndarray) -> dict | None:
     flat[:ni, 13] = encr.astype(np.float32)
     flat[:ni, 14] = (axis * 2 + lower).astype(np.float32)
     fat = np.ascontiguousarray(flat.reshape(nb, LANES, 16).transpose(0, 2, 1))
-    base = pack_bvh_for_pallas(bvh, tri_pos)
-    return {"fatnodes": fat, "tris": base["tris"]}
+    return {"fatnodes": fat, "tris": tris}
 
 
-def pack_bvh_fat4(bvh, tri_pos: np.ndarray) -> dict | None:
+def pack_bvh_fat4(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict | None:
     """Fat4 packing: each row holds FOUR grandchild slots' AABBs + metadata.
 
     One level of the BVH2 is contracted per visit: a fat4 node for inner
@@ -257,6 +299,7 @@ def pack_bvh_fat4(bvh, tri_pos: np.ndarray) -> dict | None:
     is_leaf = bvh.node_count > 0
     if n == 0 or is_leaf[0]:
         return None
+    tris, slot_first, slot_count = _grouped_tris(bvh, tri_pos, tri_group)
 
     def pair_of(c):
         """Child node c -> (slot node ids, om). Leaf -> [c, -1], om 0."""
@@ -304,20 +347,19 @@ def pack_bvh_fat4(bvh, tri_pos: np.ndarray) -> dict | None:
             flat[row, 6 * k : 6 * k + 3] = bvh.node_lo[s]
             flat[row, 6 * k + 3 : 6 * k + 6] = bvh.node_hi[s]
             if is_leaf[s]:
-                enc = int(bvh.node_first[s]) * (1 << META_SHIFT) + int(bvh.node_count[s])
+                enc = int(slot_first[s]) * (1 << META_SHIFT) + int(slot_count[s])
             else:
                 enc = fat_id[s] * (1 << META_SHIFT) + INNER_FIELD
             assert enc < (1 << 24), "fat4 enc exceeds f32 exact range"
             flat[row, 24 + k] = float(enc)
         flat[row, 28] = float(om_s * 36 + om_l * 6 + om_r)
     fat4 = np.ascontiguousarray(flat.reshape(nb, LANES, 32).transpose(0, 2, 1))
-    base = pack_bvh_for_pallas(bvh, tri_pos)
     # fat4_slots: original node id per slot (-1 = empty), for device-side
     # bound repack after a refit (bvh.refit.repack_pallas_fat4_bounds).
     slot_ids = np.full((nb * LANES, 4), -1, np.int32)
     for row, slots in enumerate(slots_all):
         slot_ids[row] = slots
-    return {"fat4nodes": fat4, "tris": base["tris"], "fat4_slots": slot_ids}
+    return {"fat4nodes": fat4, "tris": tris, "fat4_slots": slot_ids}
 
 
 def pack_rays(o, d):
@@ -391,6 +433,20 @@ def _fetch_row(table_ref, idx, rows: int | None = None):
         ).astype(jnp.float32)
         picked = jnp.sum(tile * mask, axis=1, keepdims=True)  # [rows, 1] exact
     return jnp.broadcast_to(picked, (rows, LANES))
+
+
+def _tri_groups(tris_ref, slot):
+    """Fetch one triangle slot; return per-triangle [10, 128] views.
+
+    The tri table packs G triangles per lane slot (triangle g at rows
+    [16g, 16g+10)); G is static from the table shape.  Grouping replaces G
+    separate fetches + leaf-loop iterations with ONE wider row fetch: the
+    lane-select cost is proportional to total rows either way, but the
+    per-fetch overhead and the dynamic-trip-count loop iterations divide by
+    G (sorted bounce closest 156 -> 112 ms at G=8, leaf 15, 2M rays)."""
+    g = tris_ref.shape[1] // 16
+    tv = _fetch_row(tris_ref, slot, rows=16 * (g - 1) + 10)
+    return [tv[16 * i : 16 * i + 10] for i in range(g)]
 
 
 def _slab_test(vals, oix, oiy, oiz, ix, iy, iz, t_cap, off: int = 0):
@@ -499,14 +555,14 @@ def _closest_kernel(
 
         def leaf_body(k, carry):
             bt, btri, bu, bv = carry
-            tv = _fetch_row(tris_ref, meta + k, rows=10)  # [10, 128]
-            h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
-            take = h & box_hit
-            tid = jnp.broadcast_to(tv[9:10, :], bt.shape)  # original id as f32
-            bt = jnp.where(take, t, bt)
-            btri = jnp.where(take, tid, btri)
-            bu = jnp.where(take, u, bu)
-            bv = jnp.where(take, v, bv)
+            for tv in _tri_groups(tris_ref, meta + k):
+                h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                take = h & box_hit
+                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)  # original id as f32
+                bt = jnp.where(take, t, bt)
+                btri = jnp.where(take, tid, btri)
+                bu = jnp.where(take, u, bu)
+                bv = jnp.where(take, v, bv)
             return bt, btri, bu, bv
 
         # Branch-free: trip count is 0 unless (leaf AND any ray hit the box).
@@ -585,9 +641,10 @@ def _any_kernel(
         count = jnp.where(is_leaf, field, 0)
 
         def leaf_body(k, occ):
-            tv = _fetch_row(tris_ref, meta + k, rows=10)
-            h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
-            return jnp.where(h & box_hit, 1.0, occ)
+            for tv in _tri_groups(tris_ref, meta + k):
+                h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                occ = jnp.where(h & box_hit, 1.0, occ)
+            return occ
 
         n_tris = jnp.where(any_hit, count, 0)
         occ = jax.lax.fori_loop(0, n_tris, leaf_body, occ)
@@ -655,16 +712,15 @@ def _closest_fat_kernel(
         def make_leaf(first, box):
             def leaf_body(k, carry):
                 bt, btri, bu, bv = carry
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
-                take = h & box
-                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                return (
-                    jnp.where(take, t, bt),
-                    jnp.where(take, tid, btri),
-                    jnp.where(take, u, bu),
-                    jnp.where(take, v, bv),
-                )
+                for tv in _tri_groups(tris_ref, first + k):
+                    h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                    take = h & box
+                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                    bt = jnp.where(take, t, bt)
+                    btri = jnp.where(take, tid, btri)
+                    bu = jnp.where(take, u, bu)
+                    bv = jnp.where(take, v, bv)
+                return bt, btri, bu, bv
 
             return leaf_body
 
@@ -744,9 +800,10 @@ def _any_fat_kernel(
 
         def make_leaf(first, box):
             def leaf_body(k, occ):
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
-                return jnp.where(h & box, 1.0, occ)
+                for tv in _tri_groups(tris_ref, first + k):
+                    h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                    occ = jnp.where(h & box, 1.0, occ)
+                return occ
 
             return leaf_body
 
@@ -864,16 +921,15 @@ def _closest_fat4_kernel(
         def make_leaf(first, box):
             def leaf_body(k, carry):
                 bt, btri, bu, bv = carry
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
-                take = h & box
-                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                return (
-                    jnp.where(take, t, bt),
-                    jnp.where(take, tid, btri),
-                    jnp.where(take, u, bu),
-                    jnp.where(take, v, bv),
-                )
+                for tv in _tri_groups(tris_ref, first + k):
+                    h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                    take = h & box
+                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                    bt = jnp.where(take, t, bt)
+                    btri = jnp.where(take, tid, btri)
+                    bu = jnp.where(take, u, bu)
+                    bv = jnp.where(take, v, bv)
+                return bt, btri, bu, bv
 
             return leaf_body
 
@@ -965,9 +1021,10 @@ def _any_fat4_kernel(
 
         def make_leaf(first, box):
             def leaf_body(k, occ):
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
-                return jnp.where(h & box, 1.0, occ)
+                for tv in _tri_groups(tris_ref, first + k):
+                    h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                    occ = jnp.where(h & box, 1.0, occ)
+                return occ
 
             return leaf_body
 
@@ -1063,16 +1120,16 @@ def _combo_fat4_kernel(
         def make_leaf(first, box_b, box_l):
             def leaf_body(k, carry):
                 bt, btri, bu, bv, occ = carry
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
-                take = hb & box_b
-                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                bt = jnp.where(take, t, bt)
-                btri = jnp.where(take, tid, btri)
-                bu = jnp.where(take, u, bu)
-                bv = jnp.where(take, v, bv)
-                hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
-                occ = jnp.where(hl & box_l, 1.0, occ)
+                for tv in _tri_groups(tris_ref, first + k):
+                    hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
+                    take = hb & box_b
+                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                    bt = jnp.where(take, t, bt)
+                    btri = jnp.where(take, tid, btri)
+                    bu = jnp.where(take, u, bu)
+                    bv = jnp.where(take, v, bv)
+                    hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
+                    occ = jnp.where(hl & box_l, 1.0, occ)
                 return bt, btri, bu, bv, occ
 
             return leaf_body
@@ -1198,16 +1255,16 @@ def _combo_fat_kernel(
         def make_leaf(first, box_b, box_l):
             def leaf_body(k, carry):
                 bt, btri, bu, bv, occ = carry
-                tv = _fetch_row(tris_ref, first + k, rows=10)
-                hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
-                take = hb & box_b
-                tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                bt = jnp.where(take, t, bt)
-                btri = jnp.where(take, tid, btri)
-                bu = jnp.where(take, u, bu)
-                bv = jnp.where(take, v, bv)
-                hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
-                occ = jnp.where(hl & box_l, 1.0, occ)
+                for tv in _tri_groups(tris_ref, first + k):
+                    hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
+                    take = hb & box_b
+                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                    bt = jnp.where(take, t, bt)
+                    btri = jnp.where(take, tid, btri)
+                    bu = jnp.where(take, u, bu)
+                    bv = jnp.where(take, v, bv)
+                    hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
+                    occ = jnp.where(hl & box_l, 1.0, occ)
                 return bt, btri, bu, bv, occ
 
             return leaf_body

@@ -431,3 +431,59 @@ def test_pallas_combo_matches_separate(soup_setup):
             np.nan_to_num(np.asarray(hit_k[k]), posinf=1e30),
         )
     np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ_k))
+
+
+def test_pallas_tri_group_parity(soup_setup):
+    """Grouped tri slots (G tris per leaf fetch) are bit-identical to the
+    ungrouped layout for closest, any, and the fused combo, across widths."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels.pallas_trace import (
+        pack_bvh_fat,
+        pack_bvh_fat4,
+        pallas_any_hit_fat,
+        pallas_any_hit_fat4,
+        pallas_closest_hit_fat,
+        pallas_closest_hit_fat4,
+        pallas_shadow_closest_fat4,
+    )
+
+    tri, _, _ = soup_setup
+    bvh = build_bvh(tri, max_leaf=15)
+    o, b = _rays(1024, seed=41)
+    o_j, b_j = jnp.asarray(o), jnp.asarray(b)
+    _, l = _rays(1024, seed=43)
+    l_j = jnp.asarray(l)
+
+    f4_1 = {k: jnp.asarray(v) for k, v in pack_bvh_fat4(bvh, tri, tri_group=1).items()}
+    f4_8 = {k: jnp.asarray(v) for k, v in pack_bvh_fat4(bvh, tri, tri_group=8).items()}
+    h1 = pallas_closest_hit_fat4(o_j, b_j, f4_1, interpret=True)
+    h8 = pallas_closest_hit_fat4(o_j, b_j, f4_8, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(h1[k]), posinf=1e30)
+        c = np.nan_to_num(np.asarray(h8[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, c)
+    occ1 = pallas_any_hit_fat4(o_j, l_j, f4_1, t_max=0.5, interpret=True)
+    occ8 = pallas_any_hit_fat4(o_j, l_j, f4_8, t_max=0.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ8))
+    hc1, oc1 = pallas_shadow_closest_fat4(o_j, b_j, l_j, f4_1, t_max_l=0.5, interpret=True)
+    hc8, oc8 = pallas_shadow_closest_fat4(o_j, b_j, l_j, f4_8, t_max_l=0.5, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(hc1[k]), posinf=1e30)
+        c = np.nan_to_num(np.asarray(hc8[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(np.asarray(oc1), np.asarray(oc8))
+
+    # fat(2) path, odd group size exercises tail padding
+    f2_1 = {k: jnp.asarray(v) for k, v in pack_bvh_fat(bvh, tri, tri_group=1).items()}
+    f2_3 = {k: jnp.asarray(v) for k, v in pack_bvh_fat(bvh, tri, tri_group=3).items()}
+    g1 = pallas_closest_hit_fat(o_j, b_j, f2_1, interpret=True)
+    g3 = pallas_closest_hit_fat(o_j, b_j, f2_3, interpret=True)
+    for k in ("t", "tri", "u", "v"):
+        a = np.nan_to_num(np.asarray(g1[k]), posinf=1e30)
+        c = np.nan_to_num(np.asarray(g3[k]), posinf=1e30)
+        np.testing.assert_array_equal(a, c)
+    a2_1 = pallas_any_hit_fat(o_j, l_j, f2_1, t_max=0.5, interpret=True)
+    a2_3 = pallas_any_hit_fat(o_j, l_j, f2_3, t_max=0.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a2_1), np.asarray(a2_3))
