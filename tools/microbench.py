@@ -96,10 +96,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leaves", default="8")
     ap.add_argument("--wides", default="4")
+    ap.add_argument("--groups", default="8")
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
     leaves = [int(x) for x in args.leaves.split(",")]
     wides = [int(x) for x in args.wides.split(",")]
+    groups = [int(x) for x in args.groups.split(",")]
 
     fs, tri_pos, (o, d), (so_b, sd_b, sd_bl), (so_l, sd_l) = make_rays()
     print(f"scene: {len(tri_pos)} tris, {args.iters} iters, jitted")
@@ -108,14 +110,15 @@ def main():
     for leaf in leaves:
         bvh = build_bvh(tri_pos, max_leaf=leaf)
         for wide in wides:
+          for grp in groups:
             if wide == 4:
-                packed = pt.pack_bvh_fat4(bvh, tri_pos)
+                packed = pt.pack_bvh_fat4(bvh, tri_pos, tri_group=grp)
                 closest, anyf, combo = (pt.pallas_closest_hit_fat4,
                                         pt.pallas_any_hit_fat4,
                                         pt.pallas_shadow_closest_fat4)
                 packed.pop("fat4_slots", None)
             else:
-                packed = pt.pack_bvh_fat(bvh, tri_pos)
+                packed = pt.pack_bvh_fat(bvh, tri_pos, tri_group=grp)
                 closest, anyf, combo = (pt.pallas_closest_hit_fat,
                                         pt.pallas_any_hit_fat,
                                         pt.pallas_shadow_closest_fat)
@@ -125,7 +128,7 @@ def main():
             ms_s = timed(lambda: anyf(so_l, sd_l, packed, 100.0), n_iter=args.iters)
             ms_c = timed(lambda: combo(so_b, sd_b, sd_bl, packed, jnp.inf, 100.0),
                          n_iter=args.iters)
-            print(f"leaf={leaf:<3d} wide={wide} {ms_p:8.1f} {ms_b:8.1f} {ms_s:8.1f} {ms_c:8.1f}")
+            print(f"leaf={leaf:<3d} w={wide} G={grp:<2d} {ms_p:8.1f} {ms_b:8.1f} {ms_s:8.1f} {ms_c:8.1f}")
 
 
 if __name__ == "__main__":
