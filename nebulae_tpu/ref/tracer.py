@@ -222,13 +222,21 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
             if bounce == cfg.max_bounces - 1:
                 break
 
+            # --- lobe-selection Russian roulette (1 draw): continue through
+            # the diffuse lobe with probability p_d, boosting throughput by
+            # 1/p_d, else absorb (pathtracer.hlsl:474-479, 596-620;
+            # brdf.hlsli:130-146) ---
+            state, u_rr = nrng.next_float(state)
+            n_dot_v = np.clip(nmath.dot(surf["normal_s"], view)[..., 0], 0.0, 1.0)
+            p_d = brdf.diffuse_probability(surf["albedo"], surf["metalness"], n_dot_v, np)
             # --- indirect: cosine hemisphere, Lambertian weight (2 draws) ---
             state, u1 = nrng.next_float(state)
             state, u2 = nrng.next_float(state)
             new_d = brdf.cosine_hemisphere_sample(u1, u2, surf["normal_s"], np)
             # f_d * cos / pdf with pdf = cos/pi: weight = diffuse reflectance
-            weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], np)
+            weight = brdf.diffuse_reflectance(surf["albedo"], surf["metalness"], np) / p_d[..., None]
             throughput = throughput * weight
+            alive = alive & (u_rr < p_d)
             if cfg.throughput_threshold > 0.0:
                 alive = alive & (throughput.max(axis=-1) > cfg.throughput_threshold)
 

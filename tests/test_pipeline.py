@@ -143,9 +143,19 @@ def test_svgf_differentiable_and_denoises(setup):
 
     out, state = frame_fn(scene_jx, sun_jx, cam, state)
     hit = np.asarray(out["hit"])
-    noisy = np.asarray(out["hdr"])[hit]
-    den = np.asarray(out["denoised"])[hit]
-    assert den.std() < noisy.std()  # spatially smoother
+
+    def hf_noise(img):
+        # High-frequency residual (pixel minus 3x3 box blur): isolates the
+        # Monte-Carlo noise from the signal variance across walls/edges.
+        import scipy.ndimage as ndi
+
+        blur = ndi.uniform_filter(img, size=(3, 3, 1))
+        return (img - blur)[hit].std()
+
+    # Edges legitimately survive the edge-stopping filter, so the HF energy
+    # does not drop to zero; a no-op filter (the reference's 8-bit phi_color
+    # against HDR luminance, see config.svgf_phi_color) sits at ~0.9998x.
+    assert hf_noise(np.asarray(out["denoised"])) < 0.8 * hf_noise(np.asarray(out["hdr"]))
 
     # Temporal accumulation across frames reduces variance further
     for _ in range(3):
@@ -195,6 +205,60 @@ def test_bvh_pipeline_matches_bruteforce(setup):
     np.testing.assert_allclose(
         np.asarray(out_bvh["hdr"]), np.asarray(out_bf["hdr"]), rtol=1e-4, atol=1e-5
     )
+
+def test_metallic_rr_allclose(setup):
+    """Lobe-selection Russian roulette on a metallic scene: pixels AND
+    gradients allclose vs the CPU oracle (pathtracer.hlsl:474-479, 596-620).
+
+    Metallic materials drive the diffuse probability toward its 0.1 clamp
+    (brdf.hlsli:130-146), so the RR draw/division/absorption dominate the
+    indirect energy here -- this test fails if any of the three is missing
+    or the RNG draw order diverges between the tracers."""
+    from nebulae_tpu.ref.tracer import path_trace_np
+    from nebulae_tpu.engine.renderer import init_frame_state, render_frame
+    from nebulae_tpu.passes.gbuffer import make_camera_arrays
+
+    scene_np, scene_jx, sun, sun_jx, camera = setup
+    metal = np.full_like(scene_np["mat_metallic"], 0.85)
+    rough = np.full_like(scene_np["mat_roughness"], 0.35)
+    s_np = dict(scene_np, mat_metallic=metal, mat_roughness=rough)
+    s_jx = dict(scene_jx, mat_metallic=jnp.asarray(metal), mat_roughness=jnp.asarray(rough))
+
+    cfg = RenderConfig(
+        width=64, height=64, spp=2, max_bounces=4, enable_svgf=False, enable_tonemap=False
+    )
+    ref = path_trace_np(s_np, camera, cfg, sun, frame=3)
+    out = _render_jax(s_jx, sun_jx, camera, cfg, frame=3)
+    np.testing.assert_allclose(np.asarray(out["hdr"]), ref, rtol=1e-3, atol=2e-4)
+
+    # Gradient parity: d mean(hdr) / d base_color against a central finite
+    # difference of the oracle.  p_d depends on albedo, so FD can cross an RR
+    # threshold for isolated lanes; eps is small enough that frame 3 has no
+    # flips (deterministic), and the tolerance covers the smooth part.
+    cam = make_camera_arrays(camera, cfg.width, cfg.height)
+    state = init_frame_state(cfg)
+
+    def loss_fn(base_color):
+        s = dict(s_jx)
+        s["mat_base_color"] = base_color
+        o, _ = render_frame(s, None, sun_jx, cam, state, cfg)
+        return o["hdr"].mean()
+
+    g = np.asarray(jax.jit(jax.grad(loss_fn))(s_jx["mat_base_color"]))
+    eps = 5e-4
+    for mat, ch in [(0, 0), (1, 1)]:
+        bc_p = s_np["mat_base_color"].copy()
+        bc_m = s_np["mat_base_color"].copy()
+        bc_p[mat, ch] += eps
+        bc_m[mat, ch] -= eps
+        lp = path_trace_np(dict(s_np, mat_base_color=bc_p), camera, cfg, sun, frame=3).mean()
+        lm = path_trace_np(dict(s_np, mat_base_color=bc_m), camera, cfg, sun, frame=3).mean()
+        fd = (lp - lm) / (2 * eps)
+        assert abs(g[mat, ch] - fd) < 5e-3 * max(1.0, abs(fd)), (
+            f"grad mismatch mat={mat} ch={ch}: jax={g[mat, ch]} fd={fd}"
+        )
+    assert np.abs(g).max() > 1e-4
+
 
 def test_lean_outputs(setup):
     """lean_outputs drops the debug targets but matches the full frame's ldr."""
