@@ -131,6 +131,18 @@ def main() -> None:
     fwdbwd_s = (time.perf_counter() - t0) / n_bwd
     fwdbwd_mrays = rays_per_frame / fwdbwd_s / 1e6
 
+    # Observability: the bench emits the same JSONL metrics stream as the app
+    # (utils.metrics) so perf history is machine-readable across rounds.
+    from nebulae_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger("/root/repo/.bench_metrics.jsonl")
+    metrics.scalar("fwd_frame_ms", fwd_s * 1e3)
+    metrics.scalar("fwd_orbit_frame_ms", fwd_orbit_s * 1e3)
+    metrics.scalar("fwdbwd_step_ms", fwdbwd_s * 1e3)
+    metrics.scalar("fwd_mrays_s", fwd_mrays)
+    metrics.scalar("fwdbwd_mrays_s", fwdbwd_mrays)
+    metrics.flush()
+
     result = {
         "metric": "Mrays/s/chip fwd+bwd, Sponza-class 1080p 1spp 4-bounce path trace + SVGF",
         "value": round(fwdbwd_mrays, 2),

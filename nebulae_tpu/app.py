@@ -37,6 +37,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracer", default="auto", choices=["auto", "bruteforce", "bvh", "pallas"])
     p.add_argument("--out", default="/tmp/nebulae_frames")
     p.add_argument("--orbit-speed", type=float, default=0.0, help="deg/frame camera orbit")
+    p.add_argument("--animate", type=float, default=0.0, metavar="AMPL",
+                   help="dynamic-scene demo: bob the geometry by AMPL x scene height "
+                        "per frame cycle (BVH refit per frame, no rebuild)")
     p.add_argument("--distance-scale", type=float, default=2.2)
     p.add_argument("--max-texture-dim", type=int, default=1024)
     # Runtime knobs mirroring the reference's ImGui panels
@@ -50,12 +53,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--svgf-alpha", type=float, default=0.9)
     p.add_argument("--nrc-lr", type=float, default=1e-2)
     p.add_argument("--fast-bounce-shading", action="store_true")
-    p.add_argument("--bvh-wide", type=int, default=2, choices=[2, 4],
+    p.add_argument("--bvh-wide", type=int, default=4, choices=[2, 4],
                    help="fat traversal table width (children vs grandchildren per visit)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
     p.add_argument("--profile", default=None, help="capture an xprof trace to this dir")
+    p.add_argument("--metrics", default=None,
+                   help="JSONL metrics stream path (default <out>/metrics.jsonl; 'off' disables)")
+    p.add_argument("--crash-dir", default=None,
+                   help="crash-dump directory (default $NEBULAE_CRASH_DIR or /tmp/nebulae_crash)")
+    p.add_argument("--heartbeat", default=None,
+                   help="liveness file touched every frame (default <out>/heartbeat)")
     return p
 
 
@@ -151,15 +160,47 @@ def main(argv=None) -> int:
     writer = FrameWriter(args.out)
     timer = FrameTimer()
 
+    # Failure detection (Nsight Aftermath analogue, SURVEY.md section 5): any
+    # uncaught exception or hard crash snapshots the frame state + metadata.
+    from nebulae_tpu.utils import crashdump
+    from nebulae_tpu.utils.crashdump import Heartbeat
+    from nebulae_tpu.utils.metrics import MetricsLogger
+
+    crashdump.install(state_provider=lambda: renderer.state, dump_dir=args.crash_dir)
+    metrics_path = args.metrics or str(Path(args.out) / "metrics.jsonl")
+    metrics = MetricsLogger(None if metrics_path == "off" else metrics_path)
+    heartbeat = Heartbeat(args.heartbeat or Path(args.out) / "heartbeat")
+
+    import time as _time
+
+    base_tri_pos = np.asarray(fs.tri_pos) if args.animate else None
+
     def loop():
         for i in range(args.frames):
             if args.orbit_speed:
                 cam.rotate(args.orbit_speed, 0.0)
                 # (history handling is automatic: reprojection warps it, or
                 # the renderer resets it when reprojection is off)
+            if args.animate:
+                # Rigid vertical bob inside the build-time AABB: per-frame
+                # BVH refit + table repack on device (TLAS-update analogue).
+                phase = 2.0 * np.pi * i / max(args.frames, 1)
+                off = np.array(
+                    [0.0, args.animate * float(hi[1] - lo[1]) * np.sin(phase), 0.0],
+                    np.float32,
+                )
+                renderer.update_geometry(base_tri_pos + off)
+            t0 = _time.perf_counter()
             out = renderer.render(cam.camera())
             writer.present(out["ldr"])
             timer.tick()
+            heartbeat.touch()
+            metrics.scalar("frame_ms", (_time.perf_counter() - t0) * 1e3)
+            if args.nrc:
+                metrics.scalar("nrc_loss", float(out["nrc_loss"]))
+                metrics.scalar("nrc_query_frac", float(out["nrc_query_frac"]))
+            metrics.count("frames")
+            metrics.flush(step=i)
             if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
                 from nebulae_tpu.utils.checkpoint import save_checkpoint
 

@@ -119,6 +119,29 @@ def repack_pallas_fat4_bounds(fat4nodes, node_lo, node_hi, fat4_slots):
     return jnp.transpose(flat.reshape(nb, lanes, rows), (0, 2, 1))
 
 
+def repack_pallas_tris(tris, tri_pos, slot_tri: np.ndarray):
+    """Rewrite the grouped triangle table's vertex data (v0/e1/e2 rows) for
+    moved geometry; the tid row and slot layout are topology, unchanged.
+
+    tris [tb, 16*G, 128] (kernels.pallas_trace._grouped_tris layout);
+    tri_pos [T, 3, 3] jnp; slot_tri [tb*128, G] host-static id map
+    (kernels.pallas_trace.grouped_tri_ids)."""
+    slot_tri = np.asarray(slot_tri)
+    tb, rows_g, lanes = tris.shape
+    g_count = rows_g // 16
+    t = tri_pos.shape[0]
+    flat = jnp.transpose(tris, (0, 2, 1)).reshape(tb * lanes, rows_g)
+    for g in range(g_count):
+        sid = slot_tri[:, g]
+        valid = (sid >= 0)[:, None]
+        tp = tri_pos[np.clip(sid, 0, max(t - 1, 0))]
+        r0 = 16 * g
+        flat = flat.at[:, r0 + 0 : r0 + 3].set(jnp.where(valid, tp[:, 0], 0.0))
+        flat = flat.at[:, r0 + 3 : r0 + 6].set(jnp.where(valid, tp[:, 1] - tp[:, 0], 0.0))
+        flat = flat.at[:, r0 + 6 : r0 + 9].set(jnp.where(valid, tp[:, 2] - tp[:, 0], 0.0))
+    return jnp.transpose(flat.reshape(tb, lanes, rows_g), (0, 2, 1))
+
+
 def repack_pallas_bounds(packed_nodes, node_lo, node_hi):
     """Write refitted bounds into the lane-packed Pallas node table
     [Nb, 8, 128] (kernels.pallas_trace layout), keeping metadata rows."""

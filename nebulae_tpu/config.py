@@ -65,7 +65,13 @@ class RenderConfig:
     svgf_reproject: bool = True
     # NRC
     nrc_max_path_vertices: int = 8
-    nrc_train_fraction: float = 0.25  # training rays as fraction of pixels per dim
+    # Training schedule (DeferredRenderer.cpp:110, 229-234 + NrcCommon.h:293-305):
+    # each frame runs `nrc_train_iterations` adam steps on
+    # `nrc_records_per_iteration`-record batches; the training-pass resolution
+    # is sized so the pass generates about iterations x records records
+    # (ComputeIdealTrainingDimensions analogue, passes.nrc_pathtrace).
+    nrc_train_iterations: int = 4
+    nrc_records_per_iteration: int = 16384
     nrc_self_training: bool = True
     nrc_learning_rate: float = 1e-2
     nrc_terminate_threshold: float = 0.01  # spread-ratio termination c
@@ -108,12 +114,10 @@ class RenderConfig:
     # way; per-fetch overhead and loop trip count divide by G).  Max leaf
     # count is bvh_tri_group * 15 (slot-count encoding limit).
     bvh_tri_group: int = 8
-    # Any-hit (shadow) rays can use a second, coarser tree (occlusion only
-    # needs *a* hit, so dense leaf tests beat descent: leaf 15 is ~30% faster
-    # than 8 on synthetic sorted 1080p shadow packets) -- but measured
-    # frame-neutral on the bench scene (in-frame shadow packets are coherent
-    # and partially dead), so the default shares the closest-hit BVH (0).
-    bvh_any_max_leaf: int = 0
+    # (A second, coarser any-hit tree was measured ~30% faster on synthetic
+    # sorted shadow packets but frame-neutral on the bench scene -- in-frame
+    # shadow packets are coherent and partially dead -- so the feature was
+    # removed; occlusion rays share the closest-hit BVH.)
     # Fat-node width for the Pallas traversal tables: 2 = children-at-parent
     # (one BVH level per visit), 4 = grandchildren-at-node (two levels per
     # visit, ~2x fewer while-loop iterations at slightly more total slab

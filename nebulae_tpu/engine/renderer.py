@@ -251,26 +251,9 @@ class Renderer:
                         flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
                     )
                 )
-            if cfg.bvh_any_max_leaf and cfg.bvh_any_max_leaf != cfg.bvh_max_leaf:
-                # Coarser second tree for occlusion (any-hit) rays.
-                any_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_any_max_leaf)
-                if t_count > SINGLE_TABLE_MAX_TRIS:
-                    bvh["any_chunks"] = pack_bvh_chunks(
-                        any_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide,
-                        tri_group=cfg.bvh_tri_group,
-                    )
-                else:
-                    bvh["any"] = pack_fat(
-                        any_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
-                    ) or pack_bvh_for_pallas(
-                        any_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
-                    )
-
         def _to_dev(k, v):
-            if k in ("chunks", "any_chunks"):
+            if k == "chunks":
                 return [jax.tree.map(jnp.asarray, c) for c in v]
-            if k == "any":
-                return jax.tree.map(jnp.asarray, v)
             return jnp.asarray(v)
 
         self.bvh = (
@@ -286,6 +269,123 @@ class Renderer:
 
     def reset_history(self):
         self.state["reset_history"] = jnp.bool_(True)
+
+    def update_geometry(self, tri_pos, tri_nrm=None):
+        """Dynamic-scene geometry update: swap the world triangles, refit the
+        BVH bottom-up and repack the traversal tables -- all on device in one
+        jitted program.  The TLAS-refit analogue
+        (/root/reference/src/nri/raytracing/RTAccelerationStructureBuilder.cpp:99-131,
+        lazy rebuild DeferredRenderer.cpp:978-1030): topology is fixed (same
+        triangle count, same tree); only positions (and optionally vertex
+        normals, for rigid motion) change.  Scene AABB and NRC position
+        encoding keep the build-time bounds, like the reference's fixed
+        sceneBounds (DeferredRenderer.cpp:104-118) -- keep animation inside
+        the original extents or rebuild.
+
+        tri_pos [T, 3, 3] float32; tri_nrm optional [T, 3, 3]."""
+        if self.bvh is not None and "chunks" in self.bvh:
+            raise NotImplementedError(
+                "refit over chunked (>160k tri) tables is unsupported; rebuild "
+                "the Renderer for large dynamic scenes"
+            )
+        if not hasattr(self, "_refit_fn"):
+            self._refit_fn = self._build_refit_fn()
+        tri_pos = jnp.asarray(tri_pos, jnp.float32)
+        updates = self._refit_fn(
+            tri_pos,
+            None if tri_nrm is None else jnp.asarray(tri_nrm, jnp.float32),
+            self.scene,
+            self.bvh,
+        )
+        self.scene.update(updates["scene"])
+        if self.bvh is not None:
+            self.bvh.update(updates["bvh"])
+
+    def _build_refit_fn(self):
+        """Host-static refit metadata (tree levels, fat-table slot maps) +
+        the jitted device program that consumes it."""
+        from functools import partial as _partial
+        from types import SimpleNamespace
+
+        from nebulae_tpu.bvh.refit import (
+            compute_levels,
+            refit_bvh,
+            repack_pallas_bounds,
+            repack_pallas_fat4_bounds,
+            repack_pallas_fat_bounds,
+            repack_pallas_tris,
+        )
+        from nebulae_tpu.kernels.pallas_trace import grouped_tri_ids
+
+        meta = {}
+        if self.bvh is not None:
+            host = SimpleNamespace(
+                **{
+                    k: np.asarray(self.bvh[k])
+                    for k in ("node_first", "node_count", "node_right", "tri_index")
+                }
+            )
+            host.num_nodes = host.node_count.shape[0]
+            meta["levels"] = compute_levels(host)
+            g = 1
+            if "tris" in self.bvh:
+                g = int(self.bvh["tris"].shape[1]) // 16
+                meta["slot_tri"] = grouped_tri_ids(host, g)
+            if "fat4nodes" in self.bvh:
+                meta["fat4_slots"] = np.asarray(self.bvh["fat4_slots"])
+            elif "fatnodes" in self.bvh:
+                meta["inner_idx"] = np.nonzero(host.node_count == 0)[0].astype(np.int64)
+                meta["node_right"] = host.node_right
+
+        max_leaf = self.cfg.bvh_max_leaf
+
+        def refit(tri_pos, tri_nrm, scene, bvh):
+            from nebulae_tpu.core import math as nmath
+
+            e1 = tri_pos[:, 1] - tri_pos[:, 0]
+            e2 = tri_pos[:, 2] - tri_pos[:, 0]
+            fn = nmath.normalize(jnp.cross(e1, e2))
+            nrm = scene["tri_nrm"] if tri_nrm is None else tri_nrm
+            # Geometric normals follow the average shading normal's side
+            # (core.scene.face_normals semantics).
+            flip = (fn * nrm.mean(axis=1)).sum(-1) < 0.0
+            fn = jnp.where(flip[:, None], -fn, fn)
+            tri_geom = scene["tri_geom"]
+            tri_geom = tri_geom.at[:, 0:3].set(tri_pos[:, 0])
+            tri_geom = tri_geom.at[:, 3:6].set(e1)
+            tri_geom = tri_geom.at[:, 6:9].set(e2)
+            tri_fast = scene["tri_fast"].at[:, 9:12].set(fn)
+            if tri_nrm is not None:
+                t = tri_pos.shape[0]
+                tri_geom = tri_geom.at[:, 9:18].set(tri_nrm.reshape(t, 9))
+                tri_fast = tri_fast.at[:, 0:9].set(tri_nrm.reshape(t, 9))
+            s_up = {
+                "tri_pos": tri_pos,
+                "tri_face_nrm": fn,
+                "tri_geom": tri_geom,
+                "tri_fast": tri_fast,
+            }
+            if tri_nrm is not None:
+                s_up["tri_nrm"] = tri_nrm
+            b_up = {}
+            if bvh is not None:
+                lo, hi = refit_bvh(bvh, tri_pos, meta["levels"], max_leaf=max_leaf)
+                b_up = {"node_lo": lo, "node_hi": hi}
+                if "tris" in bvh:
+                    b_up["tris"] = repack_pallas_tris(bvh["tris"], tri_pos, meta["slot_tri"])
+                if "fat4nodes" in bvh:
+                    b_up["fat4nodes"] = repack_pallas_fat4_bounds(
+                        bvh["fat4nodes"], lo, hi, meta["fat4_slots"]
+                    )
+                elif "fatnodes" in bvh:
+                    b_up["fatnodes"] = repack_pallas_fat_bounds(
+                        bvh["fatnodes"], lo, hi, meta["inner_idx"], meta["node_right"]
+                    )
+                elif "nodes" in bvh:
+                    b_up["nodes"] = repack_pallas_bounds(bvh["nodes"], lo, hi)
+            return {"scene": s_up, "bvh": b_up}
+
+        return jax.jit(refit)
 
     def render(self, camera: Camera, sun: SunLight | None = None):
         # Camera-motion detection, mirroring the reference's BeginFrame check

@@ -121,6 +121,33 @@ def _grouped_tris(bvh, tri_pos: np.ndarray, tri_group: int):
     return tris, slot_first, slot_count
 
 
+def grouped_tri_ids(bvh, tri_group: int) -> np.ndarray:
+    """Host-static slot->triangle map for the grouped tris table: [tb*128, G]
+    original triangle ids (-1 = empty slot).  Mirrors _grouped_tris' slot
+    layout so bvh.refit.repack_pallas_tris can rewrite vertex data in place
+    for moved geometry (topology fixed)."""
+    G = int(tri_group)
+    counts = np.asarray(bvh.node_count, np.int64)
+    leaf_nodes = np.nonzero(counts > 0)[0]
+    c = counts[leaf_nodes]
+    sc = (c + G - 1) // G
+    sf = np.zeros_like(sc)
+    if sc.size:
+        sf[1:] = np.cumsum(sc)[:-1]
+    ns = int(sc.sum())
+    tb = max((ns + LANES - 1) // LANES, 1)
+    ids = np.full((tb * LANES, G), -1, np.int64)
+    if ns:
+        tri_index = np.asarray(bvh.tri_index, np.int64)
+        leaf_of_slot = np.repeat(np.arange(leaf_nodes.shape[0]), sc)
+        slot_in_leaf = np.arange(ns) - sf[leaf_of_slot]
+        base = np.asarray(bvh.node_first, np.int64)[leaf_nodes]
+        for g in range(G):
+            off = np.minimum(slot_in_leaf * G + g, c[leaf_of_slot] - 1)
+            ids[:ns, g] = tri_index[base[leaf_of_slot] + off]
+    return ids
+
+
 def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict:
     """FlatBVH + world triangles -> lane-packed VMEM tables (numpy)."""
     n = int(bvh.node_lo.shape[0])

@@ -33,7 +33,8 @@ PI = 3.14159265358979
 def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, cache_params):
     """Full-res query pass: paths terminate into the cache by spread heuristic.
 
-    Returns (radiance, rng_state)."""
+    Returns (radiance, rng_state, aux) where aux carries the query/alive
+    fractions and per-pixel debug counters (see engine.renderer nrc_debug)."""
     n_pix = gbuf["ray_d"].shape[0]
     surf0 = {k: gbuf[k] for k in SURF_KEYS}
     acc0 = jnp.where(gbuf["hit"][..., None], surf0["emissive"], 0.0)
@@ -149,14 +150,30 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
     return acc, rng_state, aux
 
 
-def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optimizer, cam, frame):
-    """Reduced-res training pass: long paths -> per-vertex records -> 1 adam step.
+def compute_ideal_training_dims(width: int, height: int, cfg) -> tuple[int, int]:
+    """ComputeIdealTrainingDimensions analogue (NrcCommon.h:221, 293-305):
+    size the training pass so it generates about
+    nrc_train_iterations x nrc_records_per_iteration per-vertex records
+    (16K-record batches), preserving the frame aspect ratio.  Average
+    training-path length is estimated at half the vertex cap (the spread
+    heuristic terminates most paths early)."""
+    avg_verts = max(cfg.nrc_max_path_vertices * 0.5, 1.0)
+    target_paths = cfg.nrc_train_iterations * cfg.nrc_records_per_iteration / avg_verts
+    scale = min((target_paths / float(width * height)) ** 0.5, 1.0)
+    tw = max(int(round(width * scale / 4.0)) * 4, 8)
+    th = max(int(round(height * scale / 4.0)) * 4, 8)
+    return tw, th
 
-    Returns (new_cache_state, loss)."""
+
+def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optimizer, cam, frame):
+    """Reduced-res training pass: long paths -> per-vertex records ->
+    nrc_train_iterations adam steps on 16K-record batches
+    (DeferredRenderer.cpp:229-234's QueryAndTrain schedule).
+
+    Returns (new_cache_state, loss) -- loss averaged over the batches."""
     from nebulae_tpu.passes.gbuffer import blocked_closest, camera_rays_jax, render_gbuffer
 
-    tw = max(cfg.width // 4, 8)
-    th = max(cfg.height // 4, 8)
+    tw, th = compute_ideal_training_dims(cfg.width, cfg.height, cfg)
     n_pix = tw * th
 
     # Jittered rays decorrelate training samples across frames.
@@ -265,6 +282,14 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     last_rec = vertex_record(surf, view, local_last, alive)
 
     # Backward-accumulate per-vertex targets: L_k = local_k + w_k * L_{k+1}.
+    # Records are assembled pixel-major ([n_pix, k_verts] order) so each
+    # contiguous 16K batch mixes all path depths of a pixel block.
+    def interleave(stacked, last):
+        # stacked [k-1, n_pix, ...] + last [n_pix, ...] -> [n_pix * k, ...]
+        full = jnp.concatenate([stacked, last[None]], axis=0)
+        full = jnp.moveaxis(full, 0, 1)
+        return full.reshape((full.shape[0] * full.shape[1],) + full.shape[2:])
+
     if recs is not None:
         def back(carry, rec):
             target_next = carry
@@ -273,14 +298,14 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
 
         _, targets = jax.lax.scan(back, target_last, recs, reverse=True)
         records = {
-            "position": jnp.concatenate([recs["position"].reshape(-1, 3), last_rec["position"]]),
-            "normal": jnp.concatenate([recs["normal"].reshape(-1, 3), last_rec["normal"]]),
-            "view": jnp.concatenate([recs["view"].reshape(-1, 3), last_rec["view"]]),
-            "roughness": jnp.concatenate([recs["roughness"].reshape(-1), last_rec["roughness"]]),
-            "albedo": jnp.concatenate([recs["albedo"].reshape(-1, 3), last_rec["albedo"]]),
-            "metalness": jnp.concatenate([recs["metalness"].reshape(-1), last_rec["metalness"]]),
-            "target": jnp.concatenate([targets.reshape(-1, 3), target_last]),
-            "weight": jnp.concatenate([recs["alive"].reshape(-1), last_rec["alive"]]),
+            "position": interleave(recs["position"], last_rec["position"]),
+            "normal": interleave(recs["normal"], last_rec["normal"]),
+            "view": interleave(recs["view"], last_rec["view"]),
+            "roughness": interleave(recs["roughness"], last_rec["roughness"]),
+            "albedo": interleave(recs["albedo"], last_rec["albedo"]),
+            "metalness": interleave(recs["metalness"], last_rec["metalness"]),
+            "target": interleave(targets, target_last),
+            "weight": interleave(recs["alive"], last_rec["alive"]),
         }
     else:
         records = {
@@ -293,4 +318,21 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
             "target": target_last,
             "weight": last_rec["alive"],
         }
-    return train_cache_step(cache_state, optimizer, records, scene["aabb_min"], scene["aabb_max"])
+
+    # k x 16K-record training iterations (DeferredRenderer.cpp:229-234): the
+    # record stream is cut into nrc_records_per_iteration batches and each
+    # gets its own adam step, up to nrc_train_iterations per frame.
+    total = records["weight"].shape[0]
+    bsz = min(cfg.nrc_records_per_iteration, total)
+    n_batches = max(min(cfg.nrc_train_iterations, total // bsz), 1)
+    batched = {
+        k: v[: n_batches * bsz].reshape((n_batches, bsz) + v.shape[1:])
+        for k, v in records.items()
+    }
+
+    def train_body(cs, batch):
+        cs, loss = train_cache_step(cs, optimizer, batch, scene["aabb_min"], scene["aabb_max"])
+        return cs, loss
+
+    cache_state, losses = jax.lax.scan(train_body, cache_state, batched)
+    return cache_state, losses.mean()

@@ -83,7 +83,11 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
     l = jax.lax.stop_gradient(pre["l"])
     b = jax.lax.stop_gradient(pre["new_d"])
     if cfg.sort_rays:
-        key = ray_sort_key(origin, b, scene["aabb_min"], scene["aabb_max"], alive_bounce)
+        # Dead-key a lane only when it neither bounces nor shoots: RR
+        # absorption kills the continuation but the vertex's NEE shadow ray
+        # still fires, and compaction must keep it in the live prefix.
+        participate = alive_bounce | pre["shoot"]
+        key = ray_sort_key(origin, b, scene["aabb_min"], scene["aabb_max"], participate)
         occ, hit = sorted_shadow_closest(
             any_fn, closest_fn, origin, pre["shoot"], l, alive_bounce, b, key,
             combo_fn=getattr(closest_fn, "combo", None),

@@ -22,6 +22,28 @@ import jax
 import jax.numpy as jnp
 
 DEAD_ORIGIN = 1.0e14  # far outside any scene AABB: root slab test misses
+DEAD_KEY = 0x7FFFFFFF  # sort key for non-participating lanes (clusters at tail)
+
+# Live-lane compaction: after the sort, participating lanes form a prefix, so
+# the traversal runs on the smallest static slice that covers them (XLA needs
+# static shapes -> a lax.switch over a few power-of-4 bucket sizes) and the
+# tail is padded with miss records.  On the open bench scene only ~18% of
+# lanes survive bounce 0 and <1% survive bounce 1, so bounces 2-3 dispatch
+# 1/64th of the tiles.  Exact: sliced-away lanes are dead-key lanes whose
+# traversal previously retired on the root test and returned a miss anyway.
+COMPACT_FRACTIONS = (64, 16, 4, 1)  # divisors of N, smallest bucket first
+
+
+def _bucket_sizes(n: int):
+    sizes = sorted({max(-(-n // f), 1024) for f in COMPACT_FRACTIONS})
+    return [min(s, n) for s in sizes]
+
+
+def _pad_tail(x, n: int, fill):
+    b = x.shape[0]
+    if b == n:
+        return x
+    return jnp.concatenate([x, jnp.full((n - b,) + x.shape[1:], fill, x.dtype)])
 
 
 def _morton3(x, y, z):
@@ -49,15 +71,20 @@ def ray_sort_key(o, d, aabb_min, aabb_max, alive=None):
     dir_bits = (jnp.clip((d[:, 1] * 0.5 + 0.5), 0.0, 1.0) * 127.0).astype(jnp.int32)
     key = (octant << 28) | (morton << 7) | dir_bits
     if alive is not None:
-        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+        key = jnp.where(alive, key, jnp.int32(DEAD_KEY))
     return key
 
 
-def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...]):
+_MISS_FILL = {"t": jnp.inf, "tri": -1, "u": 0.0, "v": 0.0, "occ": 0}
+
+
+def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: bool = True):
     """Run trace_fn on rays sorted by `key`, return hits in original order.
 
     trace_fn(o, d) -> dict with [N]-shaped float/int arrays named in
     extra_outputs.  Sorting rides lax.sort operands both ways (no gathers).
+    With `compact`, the trace runs on the live-lane prefix only (see
+    COMPACT_FRACTIONS); dead-key lanes get miss records.
     """
     n = o.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -66,8 +93,20 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...]):
     )
     os = jnp.stack([ox, oy, oz], axis=-1)
     ds = jnp.stack([dx, dy, dz], axis=-1)
-    hit = trace_fn(os, ds)
-    outs = [hit[name] for name in extra_outputs]
+
+    def run(b: int):
+        hit = trace_fn(os[:b], ds[:b])
+        return tuple(
+            _pad_tail(hit[name], n, _MISS_FILL.get(name, 0)) for name in extra_outputs
+        )
+
+    sizes = _bucket_sizes(n) if compact else [n]
+    if len(sizes) > 1:
+        n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
+        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        outs = jax.lax.switch(sel, [lambda b=b: run(b) for b in sizes])
+    else:
+        outs = run(n)
     unsorted = jax.lax.sort((perm, *outs), num_keys=1)[1:]
     return dict(zip(extra_outputs, unsorted))
 
@@ -85,7 +124,8 @@ def sorted_any(any_fn, o, d, key):
     return out["occ"] > 0
 
 
-def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_fn=None):
+def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_fn=None,
+                          compact: bool = True):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -98,32 +138,57 @@ def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_
     fused Pallas kernel), BOTH rays ride one traversal of the union of their
     node sets -- the deep root->origin descent is shared instead of repeated.
 
+    The caller's `key` must mark a lane dead (DEAD_KEY) only when it neither
+    bounces nor shoots a shadow ray (shoot can outlive the bounce mask since
+    RR absorption kills the continuation but not the vertex's NEE).  With
+    `compact`, the traversal dispatches only the live-lane prefix (static
+    bucket sizes via lax.switch; see COMPACT_FRACTIONS).
+
     o [N,3] true origins; shoot [N] shadow-live mask; l [N,3] shadow dirs;
     alive [N] bounce-live mask; b [N,3] bounce dirs.  Returns
     (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    (key_s, perm, shoot_s, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
-        (key, idx, shoot.astype(jnp.int32),
+    masks = shoot.astype(jnp.int32) + 2 * alive.astype(jnp.int32)
+    (key_s, perm, m_s, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
+        (key, idx, masks,
          o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
          b[:, 0], b[:, 1], b[:, 2]),
         num_keys=1,
     )
     os = jnp.stack([ox, oy, oz], axis=-1)
-    alive_s = key_s != jnp.int32(0x7FFFFFFF)
-    if combo_fn is not None:
-        t_b = jnp.where(alive_s, jnp.inf, 0.0)
-        t_l = jnp.where(shoot_s > 0, jnp.inf, 0.0)
-        hit, occ_b = combo_fn(
-            os, jnp.stack([bx, by, bz], axis=-1), jnp.stack([lx, ly, lz], axis=-1), t_b, t_l
+    bs = jnp.stack([bx, by, bz], axis=-1)
+    ls = jnp.stack([lx, ly, lz], axis=-1)
+    shoot_s = (m_s & 1) > 0
+    alive_s = (m_s & 2) > 0
+
+    def run(nb: int):
+        t_b = jnp.where(alive_s[:nb], jnp.inf, 0.0)
+        t_l = jnp.where(shoot_s[:nb], jnp.inf, 0.0)
+        if combo_fn is not None:
+            hit, occ_b = combo_fn(os[:nb], bs[:nb], ls[:nb], t_b, t_l)
+            occ = occ_b.astype(jnp.int32)
+        else:
+            o_shadow = jnp.where(shoot_s[:nb, None], os[:nb], DEAD_ORIGIN)
+            o_bounce = jnp.where(alive_s[:nb, None], os[:nb], DEAD_ORIGIN)
+            occ = any_fn(o_shadow, ls[:nb]).astype(jnp.int32)
+            hit = closest_fn(o_bounce, bs[:nb])
+        return (
+            _pad_tail(occ, n, 0),
+            _pad_tail(hit["t"], n, jnp.inf),
+            _pad_tail(hit["tri"], n, -1),
+            _pad_tail(hit["u"], n, 0.0),
+            _pad_tail(hit["v"], n, 0.0),
         )
-        occ = occ_b.astype(jnp.int32)
+
+    sizes = _bucket_sizes(n) if compact else [n]
+    if len(sizes) > 1:
+        n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
+        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        occ, ht, htri, hu, hv = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
     else:
-        o_shadow = jnp.where((shoot_s > 0)[:, None], os, DEAD_ORIGIN)
-        o_bounce = jnp.where(alive_s[:, None], os, DEAD_ORIGIN)
-        occ = any_fn(o_shadow, jnp.stack([lx, ly, lz], axis=-1)).astype(jnp.int32)
-        hit = closest_fn(o_bounce, jnp.stack([bx, by, bz], axis=-1))
+        occ, ht, htri, hu, hv = run(n)
     _, occ_u, t, tri, u, v = jax.lax.sort(
-        (perm, occ, hit["t"], hit["tri"], hit["u"], hit["v"]), num_keys=1
+        (perm, occ, ht, htri, hu, hv), num_keys=1
     )
     return occ_u > 0, {"t": t, "tri": tri, "u": u, "v": v}

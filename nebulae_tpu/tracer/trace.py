@@ -296,18 +296,6 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             packed = {"nodes": bvh["nodes"], "tris": bvh["tris"]}
             closest = partial(pallas_closest_hit, packed=packed, interpret=interpret)
             any_hit = partial(pallas_any_hit, packed=packed, interpret=interpret)
-        # Occlusion rays optionally traverse a coarser second tree (bigger
-        # leaves; any hit ends the ray, so dense leaf tests beat descent).
-        if "any_chunks" in bvh:
-            any_hit = partial(pallas_any_chunks, chunks=bvh["any_chunks"], interpret=interpret)
-        elif "any" in bvh:
-            if "fat4nodes" in bvh["any"]:
-                fn = pallas_any_hit_fat4
-            elif "fatnodes" in bvh["any"]:
-                fn = pallas_any_hit_fat
-            else:
-                fn = pallas_any_hit
-            any_hit = partial(fn, packed=bvh["any"], interpret=interpret)
     else:
         raise ValueError(f"unknown tracer mode: {mode}")
     return closest, any_hit

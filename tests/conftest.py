@@ -26,7 +26,9 @@ import pytest  # noqa: E402
 ASSETS = "/root/reference/assets"
 CORNELL = f"{ASSETS}/cornell_box/cornell_box.gltf"
 HELMET = f"{ASSETS}/DamagedHelmet/DamagedHelmet.gltf"
-SPONZA = f"{ASSETS}/sponza/Sponza.gltf"
+# NOTE: the mounted snapshot ships only Sponza's textures (no Sponza.bin /
+# .glb geometry), so there is no Sponza fixture; Sponza-scale coverage comes
+# from utils.testscenes.helmet_field (4x4 ~= 247k tris, chunked BVH).
 
 
 @pytest.fixture(scope="session")

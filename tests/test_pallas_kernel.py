@@ -355,28 +355,6 @@ def test_pallas_fat_tmax_and_dead_rays(soup_setup):
     assert (np.asarray(out["tri"])[:128] == -1).all()
 
 
-def test_renderer_any_bvh_matches_shared(cornell_scene, cornell_camera):
-    """A coarser second any-hit tree (cfg.bvh_any_max_leaf) must not change
-    the image: occlusion is binary."""
-    import numpy as np
-
-    from nebulae_tpu.config import RenderConfig
-    from nebulae_tpu.engine.renderer import Renderer
-
-    fs = cornell_scene.flat
-    base = dict(
-        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
-        tracer="pallas", bruteforce_max_tris=0,
-    )
-    img1 = np.asarray(
-        Renderer(fs, RenderConfig(bvh_any_max_leaf=0, **base)).render(cornell_camera)["hdr"]
-    )
-    img2 = np.asarray(
-        Renderer(fs, RenderConfig(bvh_any_max_leaf=15, **base)).render(cornell_camera)["hdr"]
-    )
-    np.testing.assert_allclose(img1, img2, rtol=1e-6, atol=1e-7)
-
-
 def test_pallas_combo_matches_separate(soup_setup):
     """Fused shadow+bounce traversal == separate closest + any kernels,
     including disabled lanes via zero t caps, single-table and chunked."""

@@ -124,3 +124,44 @@ def test_repack_pallas_fat_bounds(cornell_scene):
     np.testing.assert_allclose(flat[:, 9:12], np.asarray(hi)[right], rtol=1e-6)
     orig = np.asarray(fat["fatnodes"]).transpose(0, 2, 1).reshape(-1, 16)[:ni]
     np.testing.assert_array_equal(flat[:, 12:15], orig[:, 12:15])
+
+
+def test_renderer_update_geometry_matches_rebuild(cornell_scene, cornell_camera):
+    """Engine-level dynamic scene: update_geometry (refit + table repack in
+    jit) renders the same frame as a from-scratch rebuild on the moved
+    geometry (RTAccelerationStructureBuilder.cpp:99-131 refit semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state
+
+    fs = cornell_scene.flat
+    cfg = RenderConfig(
+        width=48, height=48, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas", bruteforce_max_tris=0,
+    )
+    r = Renderer(fs, cfg)
+    img0 = np.asarray(r.render(cornell_camera)["hdr"])
+
+    # Deform: shear + translate (stays inside the original AABB scale).
+    moved = np.asarray(fs.tri_pos).copy()
+    ext = float((fs.aabb_max - fs.aabb_min).max())
+    moved[..., 0] += 0.05 * ext * np.sin(moved[..., 1] / max(ext, 1e-6))
+    moved[..., 1] -= 0.02 * ext
+
+    r.update_geometry(moved)
+    r.state = init_frame_state(cfg)  # same frame index / RNG as a fresh run
+    img_refit = np.asarray(r.render(cornell_camera)["hdr"])
+
+    # Rebuild from scratch on the moved triangles.
+    from nebulae_tpu.core.scene import face_normals
+
+    fs2 = type(fs)(**{k: v for k, v in fs.__dict__.items() if not k.startswith("_")})
+    fs2.tri_pos = moved.astype(np.float32)
+    fs2.tri_face_nrm = face_normals(fs2.tri_pos, fs2.tri_nrm)
+    r2 = Renderer(fs2, cfg)
+    img_rebuild = np.asarray(r2.render(cornell_camera)["hdr"])
+
+    assert np.abs(img_refit - img0).max() > 1e-3  # the scene actually moved
+    np.testing.assert_allclose(img_refit, img_rebuild, rtol=1e-4, atol=1e-5)

@@ -62,6 +62,54 @@ def test_app_cli_smoke(tmp_path):
     )
     assert rc == 0
     assert len(list((tmp_path / "frames").glob("*.png"))) == 2
+    # Observability is load-bearing: the frame loop streams JSONL metrics and
+    # touches the liveness file every frame (SURVEY.md section 5).
+    import json
+
+    rows = [json.loads(l) for l in (tmp_path / "frames" / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 2 and all("frame_ms" in r for r in rows)
+    assert (tmp_path / "frames" / "heartbeat").exists()
+
+
+def test_crashdump_and_heartbeat(tmp_path):
+    """Uncaught exceptions write a dump with the state snapshot (Nsight
+    Aftermath analogue); the heartbeat goes stale without touches."""
+    import json
+    import sys
+
+    from nebulae_tpu.utils import crashdump
+    from nebulae_tpu.utils.crashdump import Heartbeat
+
+    old_hook = sys.excepthook
+    try:
+        crashdump.install(
+            state_provider=lambda: {"frame": np.uint32(7), "img": np.ones((2, 3), np.float32)},
+            dump_dir=tmp_path / "crash",
+        )
+        assert sys.excepthook is crashdump._excepthook  # hook actually installed
+        try:
+            raise RuntimeError("boom")
+        except RuntimeError:
+            sys.excepthook(*sys.exc_info())  # what the interpreter would do
+    finally:
+        sys.excepthook = old_hook
+    dumps = sorted((tmp_path / "crash").glob("crash_*.json"))
+    assert dumps, "no crash dump written"
+    meta = json.loads(dumps[-1].read_text())
+    assert meta["reason"] == "RuntimeError" and "boom" in meta["detail"]
+    states = list((tmp_path / "crash").glob("state_*.npz"))
+    assert states, "no state snapshot written"
+    snap = np.load(states[-1])
+    assert int(snap["frame"]) == 7
+
+    hb = Heartbeat(tmp_path / "hb", stale_after_s=0.05)
+    assert hb.is_stale()  # never touched
+    hb.touch()
+    assert not hb.is_stale()
+    import time
+
+    time.sleep(0.06)
+    assert hb.is_stale()
 
 
 def test_logging_and_timer(capsys):

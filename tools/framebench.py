@@ -27,6 +27,8 @@ from nebulae_tpu.utils.testscenes import bench_camera, helmet_field
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--grid", type=int, default=3, help="helmet field grid (4 = ~247k tris, chunked BVH)")
+    ap.add_argument("--only", type=str, default=None, help="substring filter on variant names")
     args = ap.parse_args()
 
     base = RenderConfig(
@@ -34,7 +36,8 @@ def main():
         enable_svgf=True, enable_tonemap=True, tracer="auto",
         lean_outputs=True, fast_bounce_shading=True,
     )
-    fs = helmet_field(3, 3, max_texture_dim=512)
+    fs = helmet_field(args.grid, args.grid, max_texture_dim=512)
+    print(f"scene: {fs.num_triangles} triangles")
     cam = bench_camera(fs)
 
     variants = [
@@ -48,6 +51,8 @@ def main():
         ("full bounce shading", replace(base, fast_bounce_shading=False)),
     ]
 
+    if args.only:
+        variants = [(n, c) for n, c in variants if args.only in n]
     bvh = None
     for name, cfg in variants:
         r = Renderer(fs, cfg, bvh=bvh)
