@@ -51,7 +51,16 @@ def shard_frame_state(mesh: Mesh, state: dict) -> dict:
             return shard_pixels(mesh, leaf.ndim, axis=0)
         return replicated(mesh)
 
-    return jax.tree.map(spec_for, state)
+    out = {}
+    for k, v in state.items():
+        if k == "nrc":
+            # Cache MLP params/opt state replicate (their gradients all-reduce
+            # over ICI); an MLP weight matrix row count happening to divide
+            # the mesh must not row-shard it.
+            out[k] = jax.tree.map(lambda _: replicated(mesh), v)
+        else:
+            out[k] = jax.tree.map(spec_for, v)
+    return out
 
 
 def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):

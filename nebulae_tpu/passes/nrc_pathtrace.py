@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from nebulae_tpu.core import brdf
 from nebulae_tpu.core import math as nmath
 from nebulae_tpu.core import rng as nrng
-from nebulae_tpu.core.surface import reconstruct_surface
 from nebulae_tpu.nrc.cache import primary_spread, query_cache, spread_term, train_cache_step
 from nebulae_tpu.passes.pathtrace import SURF_KEYS, _nee_direct
 
@@ -64,16 +63,9 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         alive = alive_b
         new_d = pre["new_d"]
         found = hit["tri"] >= 0
-        if cfg.fast_bounce_shading:
-            from nebulae_tpu.core.surface import reconstruct_surface_fast
+        from nebulae_tpu.passes.pathtrace import _reconstruct
 
-            surf_full = reconstruct_surface_fast(
-                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
-            )
-        else:
-            surf_full = reconstruct_surface(
-                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
-            )
+        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
         new_surf = {k: surf_full[k] for k in SURF_KEYS}
         cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
         hit_t = hit["t"]
@@ -223,16 +215,9 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         new_d = pre["new_d"]
         weight = pre["weight"]
         found = hit["tri"] >= 0
-        if cfg.fast_bounce_shading:
-            from nebulae_tpu.core.surface import reconstruct_surface_fast
+        from nebulae_tpu.passes.pathtrace import _reconstruct
 
-            surf_full = reconstruct_surface_fast(
-                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
-            )
-        else:
-            surf_full = reconstruct_surface(
-                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
-            )
+        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
         new_surf = {k: surf_full[k] for k in SURF_KEYS}
         # Sky closes the path: fold into this vertex's local target.
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)

@@ -78,7 +78,14 @@ def nee_bounce_draws(surf, view, sun, alive, rng_state):
 
 def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
     """Trace the vertex's shadow + bounce rays; one shared sort when
-    cfg.sort_rays.  Returns (vis [N], hit dict) in original ray order."""
+    cfg.sort_rays.  Returns (vis [N], hit dict) in original ray order.
+
+    (Measured dead end, kept out: reconstructing the next surface inside the
+    compacted sorted domain.  The 17 surface channels must ride the unsort
+    back to pixel order, and lax.sort cost grows steeply with operand count
+    at 2M lanes -- frame went 273 -> 338 ms with a second 17-operand unsort
+    and 376 ms with one fused 22-operand unsort, vs full-width reconstruct
+    after the 6-operand hit unsort.  See docs/PERFORMANCE.md round 2.)"""
     origin = jax.lax.stop_gradient(pre["origin"])
     l = jax.lax.stop_gradient(pre["l"])
     b = jax.lax.stop_gradient(pre["new_d"])
@@ -100,6 +107,18 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
         hit = detach(closest_fn(o_b, b))
     vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
     return vis, hit
+
+
+def _reconstruct(scene, hit, origin, new_d, cfg):
+    """Next-vertex surface reconstruction (shared by the sorted/compact path
+    and the full-width fallback)."""
+    if cfg.fast_bounce_shading:
+        from nebulae_tpu.core.surface import reconstruct_surface_fast
+
+        return reconstruct_surface_fast(
+            scene, hit["tri"], hit["u"], hit["v"], origin, new_d, hit["t"], jnp
+        )
+    return reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
 
 
 def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
@@ -162,16 +181,7 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
-        if cfg.fast_bounce_shading:
-            from nebulae_tpu.core.surface import reconstruct_surface_fast
-
-            surf_full = reconstruct_surface_fast(
-                scene, hit["tri"], hit["u"], hit["v"], pre["origin"], new_d, hit["t"], jnp
-            )
-        else:
-            surf_full = reconstruct_surface(
-                scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp
-            )
+        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
         surf = {k: surf_full[k] for k in SURF_KEYS}
         acc = acc + jnp.where(alive[..., None], throughput * surf["emissive"], 0.0)
         return (rng_state, throughput, alive, acc, surf, -new_d), None
