@@ -68,18 +68,35 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
 
     new_state = dict(state)
     acc = jnp.zeros((n_pix, 3), jnp.float32)
+    from nebulae_tpu.core import brdf as _brdf
+
     for _ in range(cfg.spp):
+        sample_gbuf = gbuf
+        if cfg.jitter_primary:
+            # Per-sample sub-pixel jitter (2 RNG draws, then the path draws
+            # -- the draw-order contract in core.brdf): each sample traces
+            # its own primary hit, decorrelating spp like the reference's
+            # training-pass jitter (pathtracer.hlsl:414-420).  The
+            # unjittered `gbuf` above still feeds SVGF guidance + outputs.
+            rng_state, jx = nrng.next_float(rng_state)
+            rng_state, jy = nrng.next_float(rng_state)
+            o_j, d_j = camera_rays_jax(cam, w, h, jitter=jnp.stack([jx, jy], -1))
+            sample_gbuf = render_gbuffer(scene, blocked_closest(closest_fn, h, w), o_j, d_j)
         if cfg.enable_gi and cfg.enable_nrc:
             from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_query
 
             sample, rng_state, nrc_aux = path_trace_nrc_query(
-                scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg,
+                scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg,
                 state["nrc"]["ema_params"],
             )
         elif cfg.enable_gi:
-            sample, rng_state = path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg)
+            sample, rng_state = path_trace(scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg)
         else:
-            sample, rng_state = shade_direct(scene, gbuf, sun, any_fn, rng_state)
+            sample, rng_state = shade_direct(scene, sample_gbuf, sun, any_fn, rng_state)
+        if cfg.jitter_primary:
+            # Per-sample miss pixels see the sky along their own jittered ray.
+            sky_s = _brdf.sky_eval(sample_gbuf["ray_d"], sun, scene, cfg, jnp)
+            sample = jnp.where(sample_gbuf["hit"][..., None], sample, sky_s)
         acc = acc + sample
     radiance = acc / cfg.spp
 
@@ -96,11 +113,11 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         new_state["nrc"] = new_cache
     else:
         nrc_loss = jnp.float32(0.0)
-    # Primary misses show the sky.
-    from nebulae_tpu.core import brdf as _brdf
-
-    sky = _brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, jnp)
-    radiance = jnp.where(gbuf["hit"][..., None], radiance, sky)
+    if not cfg.jitter_primary:
+        # Primary misses show the sky (with jitter the per-sample fold above
+        # already composited each sample's own sky).
+        sky = _brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, jnp)
+        radiance = jnp.where(gbuf["hit"][..., None], radiance, sky)
 
     img = radiance.reshape(h, w, 3)
     depth = gbuf["depth"].reshape(h, w)

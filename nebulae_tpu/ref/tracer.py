@@ -113,10 +113,10 @@ def intersect_any_np(o, d, tri_pos, t_max=np.inf, chunk=4_000_000):
 # ---------------------------------------------------------------------------
 
 
-def render_gbuffer_np(scene: dict, camera: Camera, width: int, height: int):
+def render_gbuffer_np(scene: dict, camera: Camera, width: int, height: int, jitter=None):
     """Primary-visibility G-buffer: same four targets as the reference's
     raster pass (deferred_gbuffers.hlsl:94-103) plus depth + hit mask."""
-    o, d = camera_rays(camera, width, height, np)
+    o, d = camera_rays(camera, width, height, np, jitter=jitter)
     hit = intersect_closest_np(o, d, scene["tri_pos"])
     valid = hit["tri"] >= 0
     surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=np)
@@ -186,18 +186,29 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
     sun_rad = np.asarray(sun.radiance, np.float32)
 
     for s in range(cfg.spp):
+        sample_gbuf = gbuf
+        if cfg.jitter_primary:
+            # 2 jitter draws then the path draws (core.brdf draw-order
+            # contract); each sample traces its own primary hit.
+            state, jx = nrng.next_float(state)
+            state, jy = nrng.next_float(state)
+            sample_gbuf = render_gbuffer_np(
+                scene, camera, w, h, jitter=np.stack([jx, jy], -1)
+            )
+            sky_s = brdf.sky_eval(sample_gbuf["ray_d"], sun, scene, cfg, np)
+            acc += np.where(sample_gbuf["hit"][..., None], 0.0, sky_s)
         throughput = np.ones((n_pix, 3), np.float32)
-        alive = gbuf["hit"].copy()
+        alive = sample_gbuf["hit"].copy()
         surf = {
-            "position": gbuf["position"],
-            "normal_g": gbuf["normal_g"],
-            "normal_s": gbuf["normal_s"],
-            "albedo": gbuf["albedo"],
-            "roughness": gbuf["roughness"],
-            "metalness": gbuf["metalness"],
-            "emissive": gbuf["emissive"],
+            "position": sample_gbuf["position"],
+            "normal_g": sample_gbuf["normal_g"],
+            "normal_s": sample_gbuf["normal_s"],
+            "albedo": sample_gbuf["albedo"],
+            "roughness": sample_gbuf["roughness"],
+            "metalness": sample_gbuf["metalness"],
+            "emissive": sample_gbuf["emissive"],
         }
-        view = gbuf["view"]
+        view = sample_gbuf["view"]
         acc += np.where(alive[..., None], surf["emissive"], 0.0) * throughput
 
         for bounce in range(cfg.max_bounces):
@@ -259,7 +270,9 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
             view = -new_d
 
     img = acc / cfg.spp
-    # Misses on the primary ray show the sky directly.
-    sky_p = brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, np)
-    img = np.where(gbuf["hit"][..., None], img, sky_p)
+    if not cfg.jitter_primary:
+        # Misses on the primary ray show the sky directly (with jitter the
+        # per-sample sky was already folded into acc).
+        sky_p = brdf.sky_eval(gbuf["ray_d"], sun, scene, cfg, np)
+        img = np.where(gbuf["hit"][..., None], img, sky_p)
     return img.reshape(h, w, 3).astype(np.float32)

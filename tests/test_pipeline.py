@@ -206,6 +206,28 @@ def test_bvh_pipeline_matches_bruteforce(setup):
         np.asarray(out_bvh["hdr"]), np.asarray(out_bf["hdr"]), rtol=1e-4, atol=1e-5
     )
 
+def test_jittered_spp_allclose(setup):
+    """spp decorrelation: with jitter_primary each sample traces its own
+    sub-pixel primary ray (2 extra draws/sample, pathtracer.hlsl:414-420's
+    jitter made per-sample); pixels still match the CPU oracle exactly, and
+    jittered samples actually differ from the unjittered frame."""
+    from nebulae_tpu.ref.tracer import path_trace_np
+
+    scene_np, scene_jx, sun, sun_jx, camera = setup
+    cfg = RenderConfig(
+        width=64, height=64, spp=2, max_bounces=2, enable_svgf=False,
+        enable_tonemap=False, jitter_primary=True,
+    )
+    ref = path_trace_np(scene_np, camera, cfg, sun, frame=5)
+    out = _render_jax(scene_jx, sun_jx, camera, cfg, frame=5)
+    np.testing.assert_allclose(np.asarray(out["hdr"]), ref, rtol=1e-3, atol=2e-4)
+
+    from dataclasses import replace
+
+    ref_nj = path_trace_np(scene_np, camera, replace(cfg, jitter_primary=False), sun, frame=5)
+    assert np.abs(ref - ref_nj).max() > 1e-3  # jitter actually changes samples
+
+
 def test_metallic_rr_allclose(setup):
     """Lobe-selection Russian roulette on a metallic scene: pixels AND
     gradients allclose vs the CPU oracle (pathtracer.hlsl:474-479, 596-620).
