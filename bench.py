@@ -111,6 +111,32 @@ def main() -> None:
     except Exception:
         pass
 
+    # --- chunked traversal at real Sponza scale (~247k tris, 4x4 field) ---
+    # Beyond SINGLE_TABLE_MAX_TRIS the BVH splits into VMEM-sized subtree
+    # chunks chained with tightening t caps (pallas_*_chunks); this measures
+    # that code path on hardware.  Isolated so a failure never kills the
+    # primary metric.
+    chunked = None
+    try:
+        fs4 = helmet_field(4, 4, max_texture_dim=512)
+        r4 = Renderer(fs4, cfg)
+        cam4 = bench_camera(fs4)
+        out = r4.render(cam4)
+        float(out["ldr"].mean())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = r4.render(cam4)
+            float(out["ldr"].mean())
+        ch_s = (time.perf_counter() - t0) / 3
+        chunked = {
+            "triangles": int(fs4.num_triangles),
+            "fwd_frame_ms": round(ch_s * 1e3, 1),
+            "fwd_mrays_s": round(rays_per_frame / ch_s / 1e6, 2),
+        }
+        del r4
+    except Exception:
+        pass
+
     # --- forward + backward (full train step) ---
     params, frozen = split_scene_params(renderer.scene)
     params["sun"] = renderer.sun
@@ -143,16 +169,21 @@ def main() -> None:
     metrics.scalar("fwdbwd_mrays_s", fwdbwd_mrays)
     metrics.flush()
 
+    # The reference publishes no numbers (BASELINE.md), so the baseline is
+    # round-over-round: round 1 measured 40.66 Mrays/s fwd+bwd on this
+    # workload (BENCH_r01.json).
+    R01_FWDBWD_MRAYS = 40.66
     result = {
         "metric": "Mrays/s/chip fwd+bwd, Sponza-class 1080p 1spp 4-bounce path trace + SVGF",
         "value": round(fwdbwd_mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": 1.0,  # reference publishes no numbers (BASELINE.md); self-baseline
+        "vs_baseline": round(fwdbwd_mrays / R01_FWDBWD_MRAYS, 3),
         "detail": {
             "fwd_mrays_s": round(fwd_mrays, 2),
             "fwd_frame_ms": round(fwd_s * 1e3, 1),
             "fwd_orbit_frame_ms": round(fwd_orbit_s * 1e3, 1),
             "nrc_fwd_frame_ms": round(nrc_fwd_s * 1e3, 1) if nrc_fwd_s else None,
+            "chunked": chunked,
             "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
             "rays_per_frame": rays_per_frame,
             "triangles": int(fs.num_triangles),

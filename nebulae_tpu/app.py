@@ -59,6 +59,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
     p.add_argument("--profile", default=None, help="capture an xprof trace to this dir")
+    p.add_argument("--control-file", default=None,
+                   help="JSON file polled every frame for runtime knob changes (the "
+                        "headless ImGui panel, DeferredRenderer.cpp:161-252): sun_dir/"
+                        "sun_radiance/sun_angle_deg/sky_color apply without recompiling; "
+                        "spp/bounces/svgf_alpha/nrc/nrc_lr/throughput_threshold re-jit "
+                        "like the reference's shader reload")
     p.add_argument("--metrics", default=None,
                    help="JSONL metrics stream path (default <out>/metrics.jsonl; 'off' disables)")
     p.add_argument("--crash-dir", default=None,
@@ -66,6 +72,46 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--heartbeat", default=None,
                    help="liveness file touched every frame (default <out>/heartbeat)")
     return p
+
+
+def apply_controls(renderer, controls: dict) -> None:
+    """Apply a runtime-control dict to a live Renderer (the headless ImGui
+    panel, DeferredRenderer.cpp:161-252).  Sun/sky values are traced inputs
+    (no recompile); the remaining knobs go through Renderer.update_config
+    (re-jit, like the reference's shader hot reload)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sun = renderer.sun
+
+    def _v3(v):
+        return jnp.asarray([float(x) for x in v], jnp.float32)
+
+    if "sun_dir" in controls:
+        d = np.asarray([float(x) for x in controls["sun_dir"]], np.float32)
+        sun = sun.replace(direction=jnp.asarray(d / np.linalg.norm(d)))
+    if "sun_radiance" in controls:
+        sun = sun.replace(radiance=_v3(controls["sun_radiance"]))
+    if "sun_angle_deg" in controls:
+        sun = sun.replace(
+            tan_half_angle=jnp.float32(np.tan(np.deg2rad(float(controls["sun_angle_deg"])) * 0.5))
+        )
+    if "sky_color" in controls:
+        sun = sun.replace(sky_color=_v3(controls["sky_color"]))
+    renderer.sun = sun
+
+    field_of = {
+        "spp": "spp", "bounces": "max_bounces", "gi": "enable_gi",
+        "svgf": "enable_svgf", "svgf_alpha": "svgf_temporal_alpha",
+        "nrc": "enable_nrc", "nrc_lr": "nrc_learning_rate",
+        "nrc_train_iterations": "nrc_train_iterations",
+        "throughput_threshold": "throughput_threshold",
+    }
+    updates = {f: controls[k] for k, f in field_of.items() if k in controls}
+    if updates:
+        renderer.update_config(dataclasses.replace(renderer.cfg, **updates))
 
 
 def main(argv=None) -> int:
@@ -174,9 +220,31 @@ def main(argv=None) -> int:
     import time as _time
 
     base_tri_pos = np.asarray(fs.tri_pos) if args.animate else None
+    ctrl_state = {"mtime": 0.0}
+
+    def poll_controls():
+        if not args.control_file:
+            return
+        import json
+
+        try:
+            mtime = Path(args.control_file).stat().st_mtime
+        except OSError:
+            return
+        if mtime <= ctrl_state["mtime"]:
+            return
+        ctrl_state["mtime"] = mtime
+        try:
+            controls = json.loads(Path(args.control_file).read_text())
+        except (OSError, ValueError) as e:
+            log_info(f"control file unreadable: {e}")
+            return
+        apply_controls(renderer, controls)
+        log_info(f"applied runtime controls: {sorted(controls)}")
 
     def loop():
         for i in range(args.frames):
+            poll_controls()
             if args.orbit_speed:
                 cam.rotate(args.orbit_speed, 0.0)
                 # (history handling is automatic: reprojection warps it, or

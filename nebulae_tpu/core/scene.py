@@ -74,6 +74,10 @@ class FlatScene:
     # bounds
     aabb_min: np.ndarray  # [3]
     aabb_max: np.ndarray  # [3]
+    # Optional instance table (RTScene analogue): instance id per triangle,
+    # set by instanced assemblers (utils.testscenes._concat_scene) so
+    # runtime per-instance transforms can drive Renderer.update_instances.
+    instance_of_tri: np.ndarray | None = None  # [T] i32
 
     @property
     def num_triangles(self) -> int:
@@ -364,6 +368,30 @@ def pack_geometry_rows(
         [tri_nrm.reshape(t, 9), tri_face_nrm, matf[:, None]], axis=1
     ).astype(np.float32)
     return tri_geom, tri_fast
+
+
+def transform_instances(base_tri_pos, base_tri_nrm, instance_of_tri, transforms):
+    """Apply per-instance rigid 3x4 transforms to instanced triangles.
+
+    The runtime analogue of the reference's TLAS instance transforms
+    (RTTopLevelInstance::GetD3D12InstanceDesc 3x4 matrix,
+    /root/reference/src/nri/raytracing/RTCommon.h:85-107): the flattened
+    scene keeps one world-space triangle table, so moving an instance maps
+    its triangles through its matrix (rotation part also rotates vertex
+    normals -- rigid/uniform-scale transforms only; use a full rebuild for
+    shear).  Pair with Renderer.update_geometry for the BVH refit.
+
+    base_tri_pos/base_tri_nrm [T, 3, 3]; instance_of_tri [T] int;
+    transforms [I, 3, 4] (rows = world rows, last column = translation).
+    Returns (tri_pos, tri_nrm) as jnp arrays."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(transforms, jnp.float32)[jnp.asarray(instance_of_tri)]  # [T, 3, 4]
+    r, t = m[..., :3], m[..., 3]
+    pos = jnp.einsum("tij,tvj->tvi", r, jnp.asarray(base_tri_pos)) + t[:, None, :]
+    nrm = jnp.einsum("tij,tvj->tvi", r, jnp.asarray(base_tri_nrm))
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    return pos, nrm
 
 
 def face_normals(tri_pos: np.ndarray, tri_nrm: np.ndarray) -> np.ndarray:

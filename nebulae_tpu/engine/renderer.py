@@ -236,6 +236,12 @@ class Renderer:
     def __init__(self, flat_scene: FlatScene, cfg: RenderConfig, sun: SunLight | None = None, bvh=None):
         self.cfg = cfg
         self.scene = {k: jnp.asarray(v) for k, v in flat_scene.device_arrays().items()}
+        # Instance table for runtime per-instance transforms (RTScene
+        # analogue); base triangles kept host-side for update_instances.
+        self._instance_of_tri = getattr(flat_scene, "instance_of_tri", None)
+        if self._instance_of_tri is not None:
+            self._base_tri_pos = np.array(flat_scene.tri_pos, np.float32, copy=True)
+            self._base_tri_nrm = np.array(flat_scene.tri_nrm, np.float32, copy=True)
         t_count = flat_scene.num_triangles
         needs_bvh = cfg.tracer in ("bvh", "pallas") or (
             cfg.tracer == "auto" and t_count > cfg.bruteforce_max_tris
@@ -286,6 +292,44 @@ class Renderer:
 
     def reset_history(self):
         self.state["reset_history"] = jnp.bool_(True)
+
+    def update_instances(self, transforms):
+        """Move rigid instances at runtime: per-instance 3x4 transforms map
+        the base (load-time) triangles, then the BVH refits on device --
+        the TLAS-instance-update analogue (RTCommon.h:85-107 +
+        RTAccelerationStructureBuilder.cpp:99-131).  Requires the scene to
+        have been assembled with instance ids (FlatScene.instance_of_tri).
+
+        transforms: [num_instances, 3, 4] float32."""
+        if self._instance_of_tri is None:
+            raise ValueError(
+                "scene has no instance table (FlatScene.instance_of_tri); "
+                "use update_geometry for free-form motion"
+            )
+        from nebulae_tpu.core.scene import transform_instances
+
+        pos, nrm = transform_instances(
+            self._base_tri_pos, self._base_tri_nrm, self._instance_of_tri, transforms
+        )
+        self.update_geometry(pos, tri_nrm=nrm)
+
+    def update_config(self, cfg: RenderConfig):
+        """Runtime reconfiguration -- the headless analogue of the
+        reference's ImGui panels (DeferredRenderer.cpp:161-252).  Traced
+        inputs (sun/sky) already change per-frame for free; static knobs
+        (spp, bounces, SVGF constants, NRC schedule...) swap the jitted
+        program, exactly like the reference's shader hot reload recompiles
+        the RTPSO.  Resolution is fixed (frame-state shapes); rebuild the
+        Renderer to resize (the reference also reallocates on WM_SIZE)."""
+        if (cfg.width, cfg.height) != (self.cfg.width, self.cfg.height):
+            raise ValueError("update_config cannot change resolution; rebuild the Renderer")
+        enable_nrc_turned_on = cfg.enable_nrc and not self.cfg.enable_nrc
+        self.cfg = cfg
+        self._jit_frame = jax.jit(partial(render_frame, cfg=cfg))
+        if enable_nrc_turned_on and "nrc" not in self.state:
+            from nebulae_tpu.nrc.cache import init_cache
+
+            self.state["nrc"] = init_cache(seed=0)
 
     def update_geometry(self, tri_pos, tri_nrm=None):
         """Dynamic-scene geometry update: swap the world triangles, refit the

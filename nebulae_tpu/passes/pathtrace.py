@@ -94,9 +94,12 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
         # absorption kills the continuation but the vertex's NEE shadow ray
         # still fires, and compaction must keep it in the live prefix.
         participate = alive_bounce | pre["shoot"]
-        key = ray_sort_key(origin, b, scene["aabb_min"], scene["aabb_max"], participate)
+        key = ray_sort_key(
+            origin, b, scene["aabb_min"], scene["aabb_max"], participate,
+            low_bits=pre["shoot"].astype(jnp.int32) + 2 * alive_bounce.astype(jnp.int32),
+        )
         occ, hit = sorted_shadow_closest(
-            any_fn, closest_fn, origin, pre["shoot"], l, alive_bounce, b, key,
+            any_fn, closest_fn, origin, l, b, key,
             combo_fn=getattr(closest_fn, "combo", None),
         )
         hit = detach(hit)

@@ -56,8 +56,14 @@ def _morton3(x, y, z):
     return code
 
 
-def ray_sort_key(o, d, aabb_min, aabb_max, alive=None):
-    """uint32 sort key: [1 dead][3 dir octant][21 origin morton][7 dir bits]."""
+def ray_sort_key(o, d, aabb_min, aabb_max, alive=None, low_bits=None):
+    """int32 sort key: [1 dead][3 dir octant][21 origin morton][5 dir][2 low].
+
+    `low_bits` (values 0..3) ride the key's lowest bits -- lax.sort cost
+    grows with operand count at 2M lanes, so per-lane flags (the shadow/
+    bounce masks) are packed into the key instead of carried as an extra
+    operand.  They only tie-break identical (octant, morton, dir) keys, so
+    packet coherence is unchanged."""
     ext = jnp.maximum(aabb_max - aabb_min, 1e-6)
     q = jnp.clip((o - aabb_min) / ext, 0.0, 1.0)
     qi = (q * 127.0).astype(jnp.int32)
@@ -67,9 +73,12 @@ def ray_sort_key(o, d, aabb_min, aabb_max, alive=None):
         + 2 * (d[:, 1] >= 0).astype(jnp.int32)
         + 4 * (d[:, 2] >= 0).astype(jnp.int32)
     )
-    # secondary direction bits: dominant-axis angle bucket
-    dir_bits = (jnp.clip((d[:, 1] * 0.5 + 0.5), 0.0, 1.0) * 127.0).astype(jnp.int32)
-    key = (octant << 28) | (morton << 7) | dir_bits
+    # secondary direction bits: dominant-axis angle bucket (max 30, so a
+    # live key can never collide with DEAD_KEY = all-ones)
+    dir_bits = (jnp.clip((d[:, 1] * 0.5 + 0.5), 0.0, 1.0) * 30.0).astype(jnp.int32)
+    key = (octant << 28) | (morton << 7) | (dir_bits << 2)
+    if low_bits is not None:
+        key = key | low_bits
     if alive is not None:
         key = jnp.where(alive, key, jnp.int32(DEAD_KEY))
     return key
@@ -124,7 +133,7 @@ def sorted_any(any_fn, o, d, key):
     return out["occ"] > 0
 
 
-def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_fn=None,
+def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
                           compact: bool = True):
     """Shadow + bounce trace under ONE shared sort permutation.
 
@@ -140,18 +149,18 @@ def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_
 
     The caller's `key` must mark a lane dead (DEAD_KEY) only when it neither
     bounces nor shoots a shadow ray (shoot can outlive the bounce mask since
-    RR absorption kills the continuation but not the vertex's NEE).  With
-    `compact`, the traversal dispatches only the live-lane prefix (static
-    bucket sizes via lax.switch; see COMPACT_FRACTIONS).
+    RR absorption kills the continuation but not the vertex's NEE), and must
+    carry `low_bits = shoot + 2*alive` (ray_sort_key) -- the masks ride the
+    key instead of costing a sort operand.  With `compact`, the traversal
+    dispatches only the live-lane prefix (static bucket sizes via
+    lax.switch; see COMPACT_FRACTIONS).
 
-    o [N,3] true origins; shoot [N] shadow-live mask; l [N,3] shadow dirs;
-    alive [N] bounce-live mask; b [N,3] bounce dirs.  Returns
-    (occluded [N], hit dict) in original ray order."""
+    o [N,3] true origins; l [N,3] shadow dirs; b [N,3] bounce dirs.
+    Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    masks = shoot.astype(jnp.int32) + 2 * alive.astype(jnp.int32)
-    (key_s, perm, m_s, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
-        (key, idx, masks,
+    (key_s, perm, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
+        (key, idx,
          o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
          b[:, 0], b[:, 1], b[:, 2]),
         num_keys=1,
@@ -159,8 +168,11 @@ def sorted_shadow_closest(any_fn, closest_fn, o, shoot, l, alive, b, key, combo_
     os = jnp.stack([ox, oy, oz], axis=-1)
     bs = jnp.stack([bx, by, bz], axis=-1)
     ls = jnp.stack([lx, ly, lz], axis=-1)
-    shoot_s = (m_s & 1) > 0
-    alive_s = (m_s & 2) > 0
+    # The shadow/bounce masks ride the key's low bits (ray_sort_key
+    # low_bits); DEAD_KEY is all-ones, so gate on participation first.
+    participate_s = key_s != jnp.int32(DEAD_KEY)
+    shoot_s = ((key_s & 1) > 0) & participate_s
+    alive_s = ((key_s & 2) > 0) & participate_s
 
     def run(nb: int):
         t_b = jnp.where(alive_s[:nb], jnp.inf, 0.0)

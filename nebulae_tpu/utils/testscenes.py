@@ -22,9 +22,15 @@ HELMET_PATH = "/root/reference/assets/DamagedHelmet/DamagedHelmet.gltf"
 
 def _concat_scene(parts: list[FlatScene]) -> FlatScene:
     """Concatenate triangle tables; materials/textures come from parts[0]
-    (instancing shares tables)."""
+    (instancing shares tables).  Records instance_of_tri so runtime
+    per-instance transforms work (Renderer.update_instances)."""
     base = parts[0]
+    instance_of_tri = np.repeat(
+        np.arange(len(parts), dtype=np.int32),
+        [p.num_triangles for p in parts],
+    )
     return FlatScene(
+        instance_of_tri=instance_of_tri,
         tri_pos=np.concatenate([p.tri_pos for p in parts]),
         tri_nrm=np.concatenate([p.tri_nrm for p in parts]),
         tri_uv=np.concatenate([p.tri_uv for p in parts]),
@@ -52,7 +58,9 @@ def _concat_scene(parts: list[FlatScene]) -> FlatScene:
 
 
 def _translate(fs: FlatScene, offset: np.ndarray) -> FlatScene:
-    out = FlatScene(**{k: v for k, v in fs.__dict__.items()})
+    # dataclass fields only -- __dict__ may also hold memoized caches
+    # (e.g. _quad_cache from device_arrays()).
+    out = FlatScene(**{k: v for k, v in fs.__dict__.items() if not k.startswith("_")})
     out.tri_pos = fs.tri_pos + np.asarray(offset, np.float32)
     out.aabb_min = fs.aabb_min + offset
     out.aabb_max = fs.aabb_max + offset
@@ -113,6 +121,11 @@ def _append_flat_tris(
     fs.mat_avg_emissive = np.concatenate([fs.mat_avg_emissive, [list(emissive)]]).astype(np.float32)
     fs.aabb_min = np.minimum(fs.aabb_min, tris.reshape(-1, 3).min(0).astype(np.float32))
     fs.aabb_max = np.maximum(fs.aabb_max, tris.reshape(-1, 3).max(0).astype(np.float32))
+    if fs.instance_of_tri is not None:
+        # Appended static geometry becomes its own instance.
+        fs.instance_of_tri = np.concatenate(
+            [fs.instance_of_tri, np.full(t, fs.instance_of_tri.max() + 1, np.int32)]
+        )
 
 
 def helmet_field(nx: int = 4, nz: int = 4, spacing: float = 3.0, max_texture_dim: int | None = 1024) -> FlatScene:

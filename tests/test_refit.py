@@ -165,3 +165,55 @@ def test_renderer_update_geometry_matches_rebuild(cornell_scene, cornell_camera)
 
     assert np.abs(img_refit - img0).max() > 1e-3  # the scene actually moved
     np.testing.assert_allclose(img_refit, img_rebuild, rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_update_instances(cornell_scene):
+    """Runtime per-instance transforms (the TLAS-instance analogue,
+    RTCommon.h:85-107): moving one of two instanced boxes via
+    update_instances matches rebuilding the scene with baked transforms."""
+    import numpy as np
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.core.camera import Camera
+    from nebulae_tpu.core.scene import face_normals
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state
+    from nebulae_tpu.utils.testscenes import _concat_scene, _translate
+
+    fs0 = cornell_scene.flat
+    ext = float((fs0.aabb_max - fs0.aabb_min).max())
+    fs = _concat_scene([fs0, _translate(fs0, np.array([1.4 * ext, 0, 0], np.float32))])
+    assert fs.instance_of_tri is not None and fs.instance_of_tri.max() == 1
+
+    lo, hi = fs.aabb_min, fs.aabb_max
+    center = (lo + hi) * 0.5
+    cam = Camera(eye=center + np.array([0, 0.3 * ext, 3.0 * ext], np.float32), target=center)
+    cfg = RenderConfig(
+        width=64, height=48, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas", bruteforce_max_tris=0,
+    )
+    r = Renderer(fs, cfg)
+    img0 = np.asarray(r.render(cam)["hdr"])
+
+    # Instance 0 stays; instance 1 slides and rotates a little around y.
+    c, s = np.cos(0.3), np.sin(0.3)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t1 = np.concatenate([rot, [[0.0], [0.12 * ext], [0.0]]], axis=1)
+    eye34 = np.concatenate([np.eye(3, dtype=np.float32), np.zeros((3, 1), np.float32)], axis=1)
+    transforms = np.stack([eye34, t1])
+    r.update_instances(transforms)
+    r.state = init_frame_state(cfg)
+    img_inst = np.asarray(r.render(cam)["hdr"])
+    assert np.abs(img_inst - img0).max() > 1e-3  # it moved
+
+    # Baked rebuild: transform instance 1's triangles by hand.
+    moved = np.array(fs.tri_pos, copy=True)
+    nrm = np.array(fs.tri_nrm, copy=True)
+    m1 = fs.instance_of_tri == 1
+    moved[m1] = np.einsum("ij,tvj->tvi", rot, moved[m1]) + t1[:, 3]
+    nrm[m1] = np.einsum("ij,tvj->tvi", rot, nrm[m1])
+    fs2 = type(fs)(**{**{k: v for k, v in fs.__dict__.items() if not k.startswith("_")},
+                      "tri_pos": moved.astype(np.float32), "tri_nrm": nrm.astype(np.float32)})
+    fs2.tri_face_nrm = face_normals(fs2.tri_pos, fs2.tri_nrm)
+    r2 = Renderer(fs2, cfg)
+    img_rebuild = np.asarray(r2.render(cam)["hdr"])
+    np.testing.assert_allclose(img_inst, img_rebuild, rtol=1e-4, atol=1e-5)

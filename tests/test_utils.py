@@ -127,3 +127,32 @@ def test_logging_and_timer(capsys):
     r = RaysPerSecond()
     r.add(1_000_000, 0.5)
     assert abs(r.mrays_s - 2.0) < 1e-6
+
+
+def test_runtime_controls(tmp_path, cornell_scene, cornell_camera):
+    """Runtime-mutable knobs (the ImGui-panel analogue): sun changes apply
+    without recompiling, static knobs re-jit mid-run, and both visibly
+    change the next frame."""
+    from nebulae_tpu.app import apply_controls
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer
+
+    cfg = RenderConfig(width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False)
+    r = Renderer(cornell_scene.flat, cfg)
+    img0 = np.asarray(r.render(cornell_camera)["hdr"])
+
+    apply_controls(r, {"sun_radiance": [0.0, 0.0, 0.0], "sky_color": [1.0, 0.0, 0.0]})
+    img1 = np.asarray(r.render(cornell_camera)["hdr"])
+    assert np.abs(img1 - img0).max() > 0.05  # lighting actually changed
+
+    apply_controls(r, {"bounces": 1, "spp": 2})
+    assert r.cfg.max_bounces == 1 and r.cfg.spp == 2
+    img2 = np.asarray(r.render(cornell_camera)["hdr"])
+    assert np.isfinite(img2).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        import dataclasses
+
+        r.update_config(dataclasses.replace(r.cfg, width=64))
