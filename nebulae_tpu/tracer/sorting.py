@@ -97,14 +97,26 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: b
     """
     n = o.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    key_s, perm, ox, oy, oz, dx, dy, dz = jax.lax.sort(
-        (key, idx, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]), num_keys=1
-    )
-    os = jnp.stack([ox, oy, oz], axis=-1)
-    ds = jnp.stack([dx, dy, dz], axis=-1)
+    # Narrow sort + prefix row gather (see sorted_shadow_closest).  Both
+    # sorts key on (key, idx) so their total order is identical (idx is
+    # unique; lax.sort tie order is otherwise unspecified).
+    key_s, perm = jax.lax.sort((key, idx), num_keys=2)
+    rows = jnp.concatenate([o, d], axis=-1)  # [N, 6]
 
     def run(b: int):
-        hit = trace_fn(os[:b], ds[:b])
+        if b == n:
+            # Full width: carrying the rays through the sort beats a full
+            # N-row gather.
+            srt = jax.lax.sort(
+                (key, idx, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]),
+                num_keys=2,
+            )
+            os = jnp.stack(srt[2:5], axis=-1)
+            ds = jnp.stack(srt[5:8], axis=-1)
+        else:
+            r = jnp.take(rows, perm[:b], axis=0)
+            os, ds = r[:, 0:3], r[:, 3:6]
+        hit = trace_fn(os, ds)
         return tuple(
             _pad_tail(hit[name], n, _MISS_FILL.get(name, 0)) for name in extra_outputs
         )
@@ -159,15 +171,15 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    (key_s, perm, ox, oy, oz, lx, ly, lz, bx, by, bz) = jax.lax.sort(
-        (key, idx,
-         o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
-         b[:, 0], b[:, 1], b[:, 2]),
-        num_keys=1,
-    )
-    os = jnp.stack([ox, oy, oz], axis=-1)
-    bs = jnp.stack([bx, by, bz], axis=-1)
-    ls = jnp.stack([lx, ly, lz], axis=-1)
+    # Narrow sort: only (key, idx) ride the 2M-lane sort (sort cost is per
+    # operand); the 9 ray channels are fetched for the live prefix by ONE
+    # [nb, 9] row gather instead -- gather cost scales with the live count,
+    # so bounce 2-3's fetch is ~1/64th of a full-width sort carry.  The
+    # full-width bucket carries rays through the sort instead (cheaper than
+    # an N-row gather); idx is a second sort key so every branch orders
+    # ties identically.
+    key_s, perm = jax.lax.sort((key, idx), num_keys=2)
+    rows = jnp.concatenate([o, l, b], axis=-1)  # [N, 9]
     # The shadow/bounce masks ride the key's low bits (ray_sort_key
     # low_bits); DEAD_KEY is all-ones, so gate on participation first.
     participate_s = key_s != jnp.int32(DEAD_KEY)
@@ -175,16 +187,29 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     alive_s = ((key_s & 2) > 0) & participate_s
 
     def run(nb: int):
+        if nb == n:
+            srt = jax.lax.sort(
+                (key, idx,
+                 o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
+                 b[:, 0], b[:, 1], b[:, 2]),
+                num_keys=2,
+            )
+            os = jnp.stack(srt[2:5], axis=-1)
+            ls = jnp.stack(srt[5:8], axis=-1)
+            bs = jnp.stack(srt[8:11], axis=-1)
+        else:
+            r = jnp.take(rows, perm[:nb], axis=0)
+            os, ls, bs = r[:, 0:3], r[:, 3:6], r[:, 6:9]
         t_b = jnp.where(alive_s[:nb], jnp.inf, 0.0)
         t_l = jnp.where(shoot_s[:nb], jnp.inf, 0.0)
         if combo_fn is not None:
-            hit, occ_b = combo_fn(os[:nb], bs[:nb], ls[:nb], t_b, t_l)
+            hit, occ_b = combo_fn(os, bs, ls, t_b, t_l)
             occ = occ_b.astype(jnp.int32)
         else:
-            o_shadow = jnp.where(shoot_s[:nb, None], os[:nb], DEAD_ORIGIN)
-            o_bounce = jnp.where(alive_s[:nb, None], os[:nb], DEAD_ORIGIN)
-            occ = any_fn(o_shadow, ls[:nb]).astype(jnp.int32)
-            hit = closest_fn(o_bounce, bs[:nb])
+            o_shadow = jnp.where(shoot_s[:nb, None], os, DEAD_ORIGIN)
+            o_bounce = jnp.where(alive_s[:nb, None], os, DEAD_ORIGIN)
+            occ = any_fn(o_shadow, ls).astype(jnp.int32)
+            hit = closest_fn(o_bounce, bs)
         return (
             _pad_tail(occ, n, 0),
             _pad_tail(hit["t"], n, jnp.inf),
