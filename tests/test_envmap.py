@@ -84,3 +84,46 @@ def test_envmap_gradients(cornell_scene, cornell_camera):
     g = np.asarray(jax.jit(jax.grad(loss))(scene["env_map"]))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_helmet_ibl_material_gradients(helmet_scene):
+    """BASELINE config ladder: DamagedHelmet primary + IBL with a
+    material-gradient backward pass -- textured PBR mesh under an
+    environment sky, gradients to base-color factors AND the env map."""
+    from nebulae_tpu.core.camera import Camera
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state, render_frame
+    from nebulae_tpu.passes.gbuffer import make_camera_arrays
+
+    fs = helmet_scene.flat
+    lo, hi = fs.aabb_min, fs.aabb_max
+    center = (lo + hi) * 0.5
+    cam_obj = Camera(
+        eye=center + np.array([0.6, 0.3, 2.0], np.float32) * float((hi - lo).max()),
+        target=center,
+    )
+    cfg = RenderConfig(
+        width=48, height=48, enable_gi=False, enable_svgf=False, enable_tonemap=False,
+        enable_envmap=True,
+    )
+    r = Renderer(fs, cfg)
+    r.scene["env_map"] = jnp.asarray(_gradient_envmap(16, 32))
+    out = r.render(cam_obj)
+    hdr = np.asarray(out["hdr"])
+    assert np.isfinite(hdr).all() and np.asarray(out["hit"]).mean() > 0.1
+
+    cam = make_camera_arrays(cam_obj, cfg.width, cfg.height)
+    state = init_frame_state(cfg)
+
+    def loss(bc, env):
+        s = dict(r.scene)
+        s["mat_base_color"] = bc
+        s["env_map"] = env
+        o, _ = render_frame(s, r.bvh, r.sun, cam, state, cfg)
+        return o["hdr"].mean()
+
+    g_bc, g_env = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        r.scene["mat_base_color"], r.scene["env_map"]
+    )
+    g_bc, g_env = np.asarray(g_bc), np.asarray(g_env)
+    assert np.isfinite(g_bc).all() and np.abs(g_bc).max() > 1e-6
+    assert np.isfinite(g_env).all() and np.abs(g_env).max() > 1e-6
