@@ -37,6 +37,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracer", default="auto", choices=["auto", "bruteforce", "bvh", "pallas"])
     p.add_argument("--out", default="/tmp/nebulae_frames")
     p.add_argument("--orbit-speed", type=float, default=0.0, help="deg/frame camera orbit")
+    p.add_argument("--accumulate", action="store_true",
+                   help="progressive still: average all frames' HDR (each frame advances "
+                        "the RNG stream) and present one converged image at the end")
     p.add_argument("--animate", type=float, default=0.0, metavar="AMPL",
                    help="dynamic-scene demo: bob the geometry by AMPL x scene height "
                         "per frame cycle (BVH refit per frame, no rebuild)")
@@ -117,7 +120,18 @@ def apply_controls(renderer, controls: dict) -> None:
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
+    import os
+
     import jax
+
+    # The tunneled TPU plugin in some images ignores JAX_PLATFORMS=cpu from
+    # the environment (and its init can block on a busy tunnel); honor the
+    # env var explicitly so CPU runs never touch the chip.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     from nebulae_tpu.config import RenderConfig
     from nebulae_tpu.core.camera import OrbitCamera
@@ -221,6 +235,7 @@ def main(argv=None) -> int:
 
     base_tri_pos = np.asarray(fs.tri_pos) if args.animate else None
     ctrl_state = {"mtime": 0.0}
+    accum_state: dict = {}
 
     def poll_controls():
         if not args.control_file:
@@ -260,7 +275,14 @@ def main(argv=None) -> int:
                 renderer.update_geometry(base_tri_pos + off)
             t0 = _time.perf_counter()
             out = renderer.render(cam.camera())
-            writer.present(out["ldr"])
+            if args.accumulate:
+                # Progressive still: average raw (pre-denoise) HDR -- each
+                # frame's RNG stream differs, so the average converges to
+                # the unbiased estimate; tonemap once after the loop.
+                acc = accum_state.get("hdr")
+                accum_state["hdr"] = out["hdr"] if acc is None else acc + out["hdr"]
+            else:
+                writer.present(out["ldr"])
             timer.tick()
             heartbeat.touch()
             metrics.scalar("frame_ms", (_time.perf_counter() - t0) * 1e3)
@@ -279,8 +301,16 @@ def main(argv=None) -> int:
             loop()
     else:
         loop()
-    writer.flush()
-    log_info(f"wrote {args.frames} frames to {args.out}")
+    if args.accumulate and "hdr" in accum_state:
+        from nebulae_tpu.passes.tonemap import aces_tonemap
+
+        mean_hdr = accum_state["hdr"] / args.frames
+        writer.present(aces_tonemap(mean_hdr))
+        writer.flush()
+        log_info(f"wrote 1 accumulated still ({args.frames} frames) to {args.out}")
+    else:
+        writer.flush()
+        log_info(f"wrote {args.frames} frames to {args.out}")
     return 0
 
 

@@ -156,3 +156,18 @@ def test_runtime_controls(tmp_path, cornell_scene, cornell_camera):
         import dataclasses
 
         r.update_config(dataclasses.replace(r.cfg, width=64))
+
+
+def test_app_accumulate(tmp_path):
+    """--accumulate averages the frames' HDR into one converged still."""
+    from nebulae_tpu.app import main
+
+    rc = main(
+        [
+            "--scene", "/root/reference/assets/cornell_box/cornell_box.gltf",
+            "--width", "32", "--height", "32", "--frames", "4", "--bounces", "2",
+            "--out", str(tmp_path / "still"), "--no-svgf", "--accumulate",
+        ]
+    )
+    assert rc == 0
+    assert len(list((tmp_path / "still").glob("*.png"))) == 1
