@@ -126,6 +126,20 @@ class RenderConfig:
     # every ray class -- primary closest 69 vs 77 ms, sorted bounce 156 vs
     # 182, sorted shadow any 42 vs 47, fused shadow+bounce 178 vs 206.
     bvh_wide: int = 4
+    # Beyond SINGLE_TABLE_MAX_TRIS (Sponza-class) the traversal tables no
+    # longer fit VMEM; two chunking strategies exist (both exact, pixels
+    # bit-identical on the 247k-tri bench scene):
+    #   "subtree": independent VMEM-sized subtree chunks chained with
+    #       tightening t caps (pack_bvh_chunks).
+    #   "tri": whole-tree fat4 nodes resident every pass, VMEM-sized
+    #       TRIANGLE chunks with static slot-range leaf gating
+    #       (pack_bvh_tri_chunks) -- one true-tree walk per chunk.
+    # Measured on TPU v5e (247k tris, 1080p frame): subtree 395 ms vs tri
+    # 460 ms.  With localized leaf AABBs (the scene-spanning ground quad is
+    # subdivided; see utils/testscenes._ground_plane) subtree chunks rarely
+    # overlap, so two half-tree walks beat two whole-tree walks.  "tri" is
+    # kept for scenes whose SAH cuts overlap badly.
+    chunk_mode: str = "subtree"
 
 
 if struct is not None:

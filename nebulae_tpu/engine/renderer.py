@@ -254,17 +254,30 @@ class Renderer:
                 pack_bvh_fat,
                 pack_bvh_fat4,
                 pack_bvh_for_pallas,
+                pack_bvh_tri_chunks,
             )
 
             pack_fat = pack_bvh_fat4 if cfg.bvh_wide == 4 else pack_bvh_fat
             flat_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_max_leaf)
             bvh = flat_bvh.device_arrays()
             if t_count > SINGLE_TABLE_MAX_TRIS:
-                # Sponza-class: VMEM-sized subtree chunks for the kernel.
-                bvh["chunks"] = pack_bvh_chunks(
-                    flat_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide,
-                    tri_group=cfg.bvh_tri_group,
+                # Sponza-class: VMEM-sized chunks (cfg.chunk_mode picks the
+                # strategy; "tri" needs fat4 and falls back to subtree when
+                # the whole-tree node table alone busts the VMEM budget).
+                tri_chunked = (
+                    pack_bvh_tri_chunks(
+                        flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                    )
+                    if cfg.chunk_mode == "tri" and cfg.bvh_wide == 4
+                    else None
                 )
+                if tri_chunked is not None:
+                    bvh.update(tri_chunked)
+                else:
+                    bvh["chunks"] = pack_bvh_chunks(
+                        flat_bvh, flat_scene.tri_pos, wide=cfg.bvh_wide,
+                        tri_group=cfg.bvh_tri_group,
+                    )
             else:
                 # Fat children-at-parent layout (2x fewer kernel iterations);
                 # legacy one-node layout when the whole tree is a single leaf.
@@ -276,6 +289,9 @@ class Renderer:
                 )
         def _to_dev(k, v):
             if k == "chunks":
+                return [jax.tree.map(jnp.asarray, c) for c in v]
+            if k == "tri_chunks":
+                # TriChunk slot bounds are pytree aux_data (static ints).
                 return [jax.tree.map(jnp.asarray, c) for c in v]
             return jnp.asarray(v)
 
@@ -344,7 +360,7 @@ class Renderer:
         the original extents or rebuild.
 
         tri_pos [T, 3, 3] float32; tri_nrm optional [T, 3, 3]."""
-        if self.bvh is not None and "chunks" in self.bvh:
+        if self.bvh is not None and ("chunks" in self.bvh or "tri_chunks" in self.bvh):
             raise NotImplementedError(
                 "refit over chunked (>160k tri) tables is unsupported; rebuild "
                 "the Renderer for large dynamic scenes"

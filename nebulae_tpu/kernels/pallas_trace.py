@@ -44,7 +44,7 @@ deferred_pbr.hlsl:100-110) over the driver-built BLAS
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -178,7 +178,11 @@ def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict:
     return {"nodes": nodes, "tris": tris}
 
 
-MAX_CHUNK_TRIS = 96 * 1024  # per-chunk VMEM budget (~6 MB tris + ~2 MB nodes)
+# Per-chunk budget: the 160k single-table limit (~12 MB of VMEM tables) is
+# measured-working on v5e (~16 MB VMEM), so chunks use nearly the same
+# budget -- fewer chunks beats smaller chunks because every chunk pass pays
+# a kernel dispatch + its table DMA (a 247k-tri scene is 2 chunks, not 4).
+MAX_CHUNK_TRIS = 150 * 1024
 SINGLE_TABLE_MAX_TRIS = 160 * 1024  # beyond this, chunk (whole table > ~12 MB)
 
 
@@ -236,6 +240,176 @@ def pack_bvh_chunks(
             or pack_bvh_for_pallas(sub, tri_pos, tri_group=tri_group)
         )
     return chunks
+
+
+# Whole-tree nodes + chunked triangle tables: total resident VMEM budget for
+# (fat4 nodes + one tris chunk); mirrors the measured-working single-table
+# limit (~12.6 MB at 160k tris on ~16 MB VMEM).
+TRI_CHUNK_TABLE_BUDGET = 13 * 1024 * 1024
+
+
+@jax.tree_util.register_pytree_node_class
+class TriChunk:
+    """One resident triangle chunk.  `tris` is a traced leaf; the slot
+    bounds are pytree aux_data so they stay Python ints across a jit
+    boundary (the kernels specialize on them as static parameters)."""
+
+    def __init__(self, tris, slot_lo: int, slot_hi: int):
+        self.tris = tris
+        self.slot_lo = int(slot_lo)
+        self.slot_hi = int(slot_hi)
+
+    def tree_flatten(self):
+        return (self.tris,), (self.slot_lo, self.slot_hi)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def pack_bvh_tri_chunks(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict | None:
+    """Whole-tree fat4 nodes + VMEM-sized TRIANGLE chunks.
+
+    The legacy chunking (pack_bvh_chunks) cuts the scene into independent
+    subtrees and re-traverses every chunk's tree: chunk root boxes overlap
+    spatially, so rays descend through the non-owning chunk's air -- measured
+    ~1.5x single-table cost at 247k tris.  Here the NODE table covers the
+    WHOLE tree (it is small: ~13 B/tri) and only the triangle table is
+    chunked: each pass walks the one true tree with the caps it already has,
+    intersecting only leaves resident in the pass's tris chunk (kernel
+    slot_range gating).  Pass 2+ prune on pass 1's tightened caps, so the
+    total is ~one full traversal plus cheap capped re-walks.
+
+    Leaf slots are numbered globally (pre-order), so a subtree cut covers a
+    contiguous slot range and every leaf is fully inside one chunk.  Returns
+    {"fat4nodes", "fat4_slots", "tri_chunks": [TriChunk...]} or None when
+    the root is a leaf / nodes alone bust the budget (caller falls back to
+    pack_bvh_chunks)."""
+    full = pack_bvh_fat4(bvh, tri_pos, tri_group=tri_group)
+    if full is None:
+        return None
+    nodes_bytes = full["fat4nodes"].nbytes
+    budget = TRI_CHUNK_TABLE_BUDGET - nodes_bytes
+    g = int(tri_group)
+    bytes_per_slot = 16 * g * 4 * 1  # one [16G] f32 row per slot
+    max_slots = budget // bytes_per_slot
+    if max_slots < LANES:  # nodes leave no useful room (< one tris tile)
+        return None
+    max_tris = int(max_slots) * g  # conservative (slots hold <= G tris)
+
+    n = int(bvh.node_lo.shape[0])
+    is_leaf = bvh.node_count > 0
+    counts = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):  # children follow parents in pre-order
+        counts[i] = (
+            bvh.node_count[i] if is_leaf[i] else counts[i + 1] + counts[bvh.node_right[i]]
+        )
+    if counts[0] <= max_tris:
+        return None  # single table fits; no point chunking
+    cuts = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if is_leaf[i] or counts[i] <= max_tris:
+            cuts.append(i)
+        else:
+            stack.append(int(bvh.node_right[i]))
+            stack.append(i + 1)
+
+    # Global slot numbering (identical to _grouped_tris / pack_bvh_fat4).
+    counts_l = np.asarray(bvh.node_count, np.int64)
+    leaf_nodes = np.nonzero(counts_l > 0)[0]
+    sc = (counts_l[leaf_nodes] + g - 1) // g
+    sf = np.zeros_like(sc)
+    if sc.size:
+        sf[1:] = np.cumsum(sc)[:-1]
+    slot_first = np.zeros(n, np.int64)
+    slot_end = np.zeros(n, np.int64)
+    slot_first[leaf_nodes] = sf
+    slot_end[leaf_nodes] = sf + sc
+
+    tb, rows_g, lanes = full["tris"].shape
+    flat = np.ascontiguousarray(full["tris"].transpose(0, 2, 1)).reshape(tb * lanes, rows_g)
+    tri_chunks = []
+    for r in sorted(cuts):
+        e = int(bvh.node_skip[r])
+        leaves = leaf_nodes[(leaf_nodes >= r) & (leaf_nodes < e)]
+        if leaves.size == 0:
+            continue
+        lo = int(slot_first[leaves].min())
+        hi = int(slot_end[leaves].max())
+        sub = flat[lo:hi]
+        pad = (-sub.shape[0]) % LANES
+        if pad:
+            sub = np.concatenate([sub, np.zeros((pad, rows_g), np.float32)])
+        tris = np.ascontiguousarray(
+            sub.reshape(sub.shape[0] // LANES, LANES, rows_g).transpose(0, 2, 1)
+        )
+        tri_chunks.append(TriChunk(tris, lo, hi))
+    return {
+        "fat4nodes": full["fat4nodes"],
+        "fat4_slots": full["fat4_slots"],
+        "tri_chunks": tri_chunks,
+    }
+
+
+def pallas_closest_tri_chunks(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    """Closest hit over whole-tree nodes + triangle chunks: one true-tree
+    walk per chunk with tightening caps (pack_bvh_tri_chunks)."""
+    best = None
+    for c in packed["tri_chunks"]:
+        sub = {"fat4nodes": packed["fat4nodes"], "tris": c.tris}
+        cap = t_max if best is None else jnp.minimum(best["t"], t_max)
+        hit = pallas_closest_hit_fat4(
+            o, d, sub, t_max=cap, interpret=interpret,
+            slot_range=(c.slot_lo, c.slot_hi),
+        )
+        if best is None:
+            best = hit
+        else:
+            take = hit["tri"] >= 0
+            best = {k: jnp.where(take, hit[k], best[k]) for k in ("t", "tri", "u", "v")}
+    return best
+
+
+def pallas_any_tri_chunks(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+    occ = None
+    for c in packed["tri_chunks"]:
+        sub = {"fat4nodes": packed["fat4nodes"], "tris": c.tris}
+        o_live = o if occ is None else jnp.where(
+            occ[:, None], jnp.float32(10.0 * DEAD_RAY_ORIGIN), o
+        )
+        o2 = pallas_any_hit_fat4(
+            o_live, d, sub, t_max=t_max, interpret=interpret,
+            slot_range=(c.slot_lo, c.slot_hi),
+        )
+        occ = o2 if occ is None else occ | o2
+    return occ
+
+
+def pallas_shadow_closest_tri_chunks(
+    o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
+):
+    n = o.shape[0]
+    tb = jnp.broadcast_to(jnp.asarray(t_max_b, jnp.float32), (n,))
+    tl = jnp.broadcast_to(jnp.asarray(t_max_l, jnp.float32), (n,))
+    best = None
+    occ = jnp.zeros(n, bool)
+    for c in packed["tri_chunks"]:
+        sub = {"fat4nodes": packed["fat4nodes"], "tris": c.tris}
+        cap_b = tb if best is None else jnp.minimum(best["t"], tb)
+        cap_l = jnp.where(occ, 0.0, tl)
+        hit, o2 = pallas_shadow_closest_fat4(
+            o, b, l, sub, t_max_b=cap_b, t_max_l=cap_l, interpret=interpret,
+            slot_range=(c.slot_lo, c.slot_hi),
+        )
+        occ = occ | o2
+        if best is None:
+            best = hit
+        else:
+            take = hit["tri"] >= 0
+            best = {k: jnp.where(take, hit[k], best[k]) for k in ("t", "tri", "u", "v")}
+    return best, occ
 
 
 def pack_bvh_fat(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict | None:
@@ -915,172 +1089,211 @@ def _near_first(om, pos_x, pos_y, pos_z):
     return jnp.logical_not(jnp.logical_xor(d_pos, lower))
 
 
-def _closest_fat4_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-    fat_ref, tris_ref,
-    t_out, tri_out, u_out, v_out,
-    stack_ref,
-):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
-    pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
-    pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
-    pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
+def _leaf_gate(slot_range):
+    """Leaf residency for tri-chunked tables: with `slot_range = (lo, hi)`
+    only leaves whose (global) slot ids live in the resident triangle table
+    are intersected, offset to table-local rows; other leaves are skipped
+    (a later pass with that chunk resident covers them -- caps only ever
+    tighten with real hits, so skipping is exact).  slot_range=None is the
+    single-table case with zero extra ops."""
+    if slot_range is None:
+        return lambda first, gate: (gate, first)
+    lo, hi = int(slot_range[0]), int(slot_range[1])
 
-    stack_ref[0] = 0  # root fat4 id
+    def gate_fn(first, gate):
+        return gate & (first >= lo) & (first < hi), first - lo
 
-    def cond(state):
-        return state[0] > 0
+    return gate_fn
 
-    def body(state):
-        sp, bt, btri, bu, bv = state
-        iid = stack_ref[sp - 1]
-        sp = sp - 1
-        vals = _fetch_row(fat_ref, iid, rows=29)  # [29, 128]
-        boxes = [
-            _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt, off=6 * k) for k in range(4)
-        ]
-        anys = [jnp.any(b) for b in boxes]
-        fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
 
-        def make_leaf(first, box):
-            def leaf_body(k, carry):
-                bt, btri, bu, bv = carry
-                for tv in _tri_groups(tris_ref, first + k):
-                    h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
-                    take = h & box
-                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                    bt = jnp.where(take, t, bt)
-                    btri = jnp.where(take, tid, btri)
-                    bu = jnp.where(take, u, bu)
-                    bv = jnp.where(take, v, bv)
-                return bt, btri, bu, bv
+@_lru_cache(maxsize=None)
+def _make_closest_fat4_kernel(slot_range=None):
+    gate_fn = _leaf_gate(slot_range)
 
-            return leaf_body
+    def _closest_fat4_kernel(
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        fat_ref, tris_ref,
+        t_out, tri_out, u_out, v_out,
+        stack_ref,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+        pos_x = jnp.sum(jnp.sign(dx)) >= 0.0
+        pos_y = jnp.sum(jnp.sign(dy)) >= 0.0
+        pos_z = jnp.sum(jnp.sign(dz)) >= 0.0
 
-        carry = (bt, btri, bu, bv)
-        for k in range(4):
-            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
-            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
-            carry = jax.lax.fori_loop(0, n_k, make_leaf(metas[k], boxes[k]), carry)
-        bt, btri, bu, bv = carry
+        stack_ref[0] = 0  # root fat4 id
 
-        # Push hit inner slots, global near order (near pair's near on top).
-        ns = _near_first(om_s, pos_x, pos_y, pos_z)
-        nl = _near_first(om_l, pos_x, pos_y, pos_z)
-        nr = _near_first(om_r, pos_x, pos_y, pos_z)
-        oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
-        idL_n = jnp.where(nl, metas[0], metas[1])
-        idL_f = jnp.where(nl, metas[1], metas[0])
-        okL_n = jnp.where(nl, oks[0], oks[1])
-        okL_f = jnp.where(nl, oks[1], oks[0])
-        idR_n = jnp.where(nr, metas[2], metas[3])
-        idR_f = jnp.where(nr, metas[3], metas[2])
-        okR_n = jnp.where(nr, oks[2], oks[3])
-        okR_f = jnp.where(nr, oks[3], oks[2])
-        push_ids = (
-            jnp.where(ns, idR_f, idL_f),
-            jnp.where(ns, idR_n, idL_n),
-            jnp.where(ns, idL_f, idR_f),
-            jnp.where(ns, idL_n, idR_n),
+        def cond(state):
+            return state[0] > 0
+
+        def body(state):
+            sp, bt, btri, bu, bv = state
+            iid = stack_ref[sp - 1]
+            sp = sp - 1
+            vals = _fetch_row(fat_ref, iid, rows=29)  # [29, 128]
+            boxes = [
+                _slab_test(vals, oix, oiy, oiz, ix, iy, iz, bt, off=6 * k) for k in range(4)
+            ]
+            anys = [jnp.any(b) for b in boxes]
+            fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
+
+            def make_leaf(first, box):
+                def leaf_body(k, carry):
+                    bt, btri, bu, bv = carry
+                    for tv in _tri_groups(tris_ref, first + k):
+                        h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
+                        take = h & box
+                        tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                        bt = jnp.where(take, t, bt)
+                        btri = jnp.where(take, tid, btri)
+                        bu = jnp.where(take, u, bu)
+                        bv = jnp.where(take, v, bv)
+                    return bt, btri, bu, bv
+
+                return leaf_body
+
+            carry = (bt, btri, bu, bv)
+            for k in range(4):
+                is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+                gate, first_local = gate_fn(metas[k], anys[k] & is_leaf)
+                n_k = jnp.where(gate, fields[k], 0)
+                carry = jax.lax.fori_loop(0, n_k, make_leaf(first_local, boxes[k]), carry)
+            bt, btri, bu, bv = carry
+
+            # Push hit inner slots, global near order (near pair's near on top).
+            ns = _near_first(om_s, pos_x, pos_y, pos_z)
+            nl = _near_first(om_l, pos_x, pos_y, pos_z)
+            nr = _near_first(om_r, pos_x, pos_y, pos_z)
+            oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
+            idL_n = jnp.where(nl, metas[0], metas[1])
+            idL_f = jnp.where(nl, metas[1], metas[0])
+            okL_n = jnp.where(nl, oks[0], oks[1])
+            okL_f = jnp.where(nl, oks[1], oks[0])
+            idR_n = jnp.where(nr, metas[2], metas[3])
+            idR_f = jnp.where(nr, metas[3], metas[2])
+            okR_n = jnp.where(nr, oks[2], oks[3])
+            okR_f = jnp.where(nr, oks[3], oks[2])
+            push_ids = (
+                jnp.where(ns, idR_f, idL_f),
+                jnp.where(ns, idR_n, idL_n),
+                jnp.where(ns, idL_f, idR_f),
+                jnp.where(ns, idL_n, idR_n),
+            )
+            push_oks = (
+                jnp.where(ns, okR_f, okL_f),
+                jnp.where(ns, okR_n, okL_n),
+                jnp.where(ns, okL_f, okR_f),
+                jnp.where(ns, okL_n, okR_n),
+            )
+            for pid, pok in zip(push_ids, push_oks):
+                sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+                stack_ref[sp_c] = pid
+                sp = jnp.where(pok, sp_c + 1, sp_c)
+            return sp, bt, btri, bu, bv
+
+        shape = ox.shape
+        init = (
+            jnp.int32(1),
+            tmax_ref[:],
+            jnp.full(shape, -1.0, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
         )
-        push_oks = (
-            jnp.where(ns, okR_f, okL_f),
-            jnp.where(ns, okR_n, okL_n),
-            jnp.where(ns, okL_f, okR_f),
-            jnp.where(ns, okL_n, okR_n),
+        _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+        t_out[:] = bt
+        tri_out[:] = jnp.round(btri).astype(jnp.int32)
+        u_out[:] = bu
+        v_out[:] = bv
+
+    return _closest_fat4_kernel
+
+
+_closest_fat4_kernel = _make_closest_fat4_kernel()
+
+
+@_lru_cache(maxsize=None)
+def _make_any_fat4_kernel(slot_range=None):
+    gate_fn = _leaf_gate(slot_range)
+
+    def _any_fat4_kernel(
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        fat_ref, tris_ref,
+        occ_out,
+        stack_ref,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+        tmax = tmax_ref[:]
+        dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
+            jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
         )
-        for pid, pok in zip(push_ids, push_oks):
-            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
-            stack_ref[sp_c] = pid
-            sp = jnp.where(pok, sp_c + 1, sp_c)
-        return sp, bt, btri, bu, bv
 
-    shape = ox.shape
-    init = (
-        jnp.int32(1),
-        tmax_ref[:],
-        jnp.full(shape, -1.0, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-    )
-    _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
-    t_out[:] = bt
-    tri_out[:] = jnp.round(btri).astype(jnp.int32)
-    u_out[:] = bu
-    v_out[:] = bv
+        stack_ref[0] = 0
 
+        def cond(state):
+            sp, _, done_all = state
+            return (sp > 0) & jnp.logical_not(done_all)
 
-def _any_fat4_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-    fat_ref, tris_ref,
-    occ_out,
-    stack_ref,
-):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    oix, oiy, oiz = ox * ix, oy * iy, oz * iz
-    tmax = tmax_ref[:]
-    dead = (jnp.abs(ox) >= DEAD_RAY_ORIGIN) | (
-        jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) < 1e-6
-    )
+        def body(state):
+            sp, occ, _ = state
+            iid = stack_ref[sp - 1]
+            sp = sp - 1
+            vals = _fetch_row(fat_ref, iid, rows=29)
+            cap = jnp.where(occ > 0.0, 0.0, tmax)
+            boxes = [
+                _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap, off=6 * k) for k in range(4)
+            ]
+            anys = [jnp.any(b) for b in boxes]
+            fields, metas, _, _, _ = _fat4_decode(vals)
 
-    stack_ref[0] = 0
+            def make_leaf(first, box):
+                def leaf_body(k, occ):
+                    for tv in _tri_groups(tris_ref, first + k):
+                        h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
+                        occ = jnp.where(h & box, 1.0, occ)
+                    return occ
 
-    def cond(state):
-        sp, _, done_all = state
-        return (sp > 0) & jnp.logical_not(done_all)
+                return leaf_body
 
-    def body(state):
-        sp, occ, _ = state
-        iid = stack_ref[sp - 1]
-        sp = sp - 1
-        vals = _fetch_row(fat_ref, iid, rows=29)
-        cap = jnp.where(occ > 0.0, 0.0, tmax)
-        boxes = [
-            _slab_test(vals, oix, oiy, oiz, ix, iy, iz, cap, off=6 * k) for k in range(4)
-        ]
-        anys = [jnp.any(b) for b in boxes]
-        fields, metas, _, _, _ = _fat4_decode(vals)
+            for k in range(4):
+                is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+                gate, first_local = gate_fn(metas[k], anys[k] & is_leaf)
+                n_k = jnp.where(gate, fields[k], 0)
+                occ = jax.lax.fori_loop(0, n_k, make_leaf(first_local, boxes[k]), occ)
 
-        def make_leaf(first, box):
-            def leaf_body(k, occ):
-                for tv in _tri_groups(tris_ref, first + k):
-                    h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
-                    occ = jnp.where(h & box, 1.0, occ)
-                return occ
+            for k in range(4):
+                ok = anys[k] & (fields[k] >= INNER_FIELD)
+                sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+                stack_ref[sp_c] = metas[k]
+                sp = jnp.where(ok, sp_c + 1, sp_c)
+            done_all = jnp.all((occ > 0.0) | dead)
+            return sp, occ, done_all
 
-            return leaf_body
+        init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(False))
+        _, occ, _ = jax.lax.while_loop(cond, body, init)
+        occ_out[:] = occ > 0.0
 
-        for k in range(4):
-            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
-            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
-            occ = jax.lax.fori_loop(0, n_k, make_leaf(metas[k], boxes[k]), occ)
-
-        for k in range(4):
-            ok = anys[k] & (fields[k] >= INNER_FIELD)
-            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
-            stack_ref[sp_c] = metas[k]
-            sp = jnp.where(ok, sp_c + 1, sp_c)
-        done_all = jnp.all((occ > 0.0) | dead)
-        return sp, occ, done_all
-
-    init = (jnp.int32(1), jnp.zeros(ox.shape, jnp.float32), jnp.bool_(False))
-    _, occ, _ = jax.lax.while_loop(cond, body, init)
-    occ_out[:] = occ > 0.0
+    return _any_fat4_kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+_any_fat4_kernel = _make_any_fat4_kernel()
+
+
+@partial(jax.jit, static_argnames=("interpret", "slot_range"))
+def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False,
+                            slot_range=None):
     """Closest hit over a pack_bvh_fat4 table (same contract as
-    pallas_closest_hit)."""
+    pallas_closest_hit).  `slot_range=(lo, hi)`: tri-chunked traversal --
+    only leaves resident in the supplied tris table are intersected."""
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
     out = _packed_call(
-        _closest_fat4_kernel,
+        _make_closest_fat4_kernel(slot_range),
         [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
         [packed["fat4nodes"], packed["tris"]],
         4, n_tiles, interpret,
@@ -1088,12 +1301,13 @@ def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool =
     return _unpack_hit(out, n)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "slot_range"))
+def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False,
+                        slot_range=None):
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
     out = _packed_call(
-        _any_fat4_kernel,
+        _make_any_fat4_kernel(slot_range),
         [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
         [packed["fat4nodes"], packed["tris"]],
         1, n_tiles, interpret,
@@ -1101,125 +1315,136 @@ def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = Fal
     return out[:, 0].reshape(-1)[:n] > 0.0
 
 
-def _combo_fat4_kernel(
-    ox_ref, oy_ref, oz_ref,
-    bx_ref, by_ref, bz_ref, tmaxb_ref,
-    lx_ref, ly_ref, lz_ref, tmaxl_ref,
-    fat_ref, tris_ref,
-    t_out, tri_out, u_out, v_out, occ_out,
-    stack_ref,
-):
-    """Fused shadow+bounce walk over a fat4 table (see _combo_fat_kernel);
-    4 slots x 2 ray sets = 8 slab tests per visit, ~2x fewer visits."""
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
-    lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
-    ibx, iby, ibz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
-    ilx, ily, ilz = _safe_inv(lx), _safe_inv(ly), _safe_inv(lz)
-    obx, oby, obz = ox * ibx, oy * iby, oz * ibz
-    olx, oly, olz = ox * ilx, oy * ily, oz * ilz
-    tmax_l = tmaxl_ref[:]
-    pos_x = jnp.sum(jnp.sign(bx)) >= 0.0
-    pos_y = jnp.sum(jnp.sign(by)) >= 0.0
-    pos_z = jnp.sum(jnp.sign(bz)) >= 0.0
+@_lru_cache(maxsize=None)
+def _make_combo_fat4_kernel(slot_range=None):
+    gate_fn = _leaf_gate(slot_range)
 
-    stack_ref[0] = 0
+    def _combo_fat4_kernel(
+        ox_ref, oy_ref, oz_ref,
+        bx_ref, by_ref, bz_ref, tmaxb_ref,
+        lx_ref, ly_ref, lz_ref, tmaxl_ref,
+        fat_ref, tris_ref,
+        t_out, tri_out, u_out, v_out, occ_out,
+        stack_ref,
+    ):
+        """Fused shadow+bounce walk over a fat4 table (see _combo_fat_kernel);
+        4 slots x 2 ray sets = 8 slab tests per visit, ~2x fewer visits."""
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
+        lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
+        ibx, iby, ibz = _safe_inv(bx), _safe_inv(by), _safe_inv(bz)
+        ilx, ily, ilz = _safe_inv(lx), _safe_inv(ly), _safe_inv(lz)
+        obx, oby, obz = ox * ibx, oy * iby, oz * ibz
+        olx, oly, olz = ox * ilx, oy * ily, oz * ilz
+        tmax_l = tmaxl_ref[:]
+        pos_x = jnp.sum(jnp.sign(bx)) >= 0.0
+        pos_y = jnp.sum(jnp.sign(by)) >= 0.0
+        pos_z = jnp.sum(jnp.sign(bz)) >= 0.0
 
-    def cond(state):
-        return state[0] > 0
+        stack_ref[0] = 0
 
-    def body(state):
-        sp, bt, btri, bu, bv, occ = state
-        iid = stack_ref[sp - 1]
-        sp = sp - 1
-        vals = _fetch_row(fat_ref, iid, rows=29)
-        cap_l = jnp.where(occ > 0.0, 0.0, tmax_l)
-        boxes_b = [
-            _slab_test(vals, obx, oby, obz, ibx, iby, ibz, bt, off=6 * k) for k in range(4)
-        ]
-        boxes_l = [
-            _slab_test(vals, olx, oly, olz, ilx, ily, ilz, cap_l, off=6 * k)
-            for k in range(4)
-        ]
-        anys = [jnp.any(b | s) for b, s in zip(boxes_b, boxes_l)]
-        fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
+        def cond(state):
+            return state[0] > 0
 
-        def make_leaf(first, box_b, box_l):
-            def leaf_body(k, carry):
-                bt, btri, bu, bv, occ = carry
-                for tv in _tri_groups(tris_ref, first + k):
-                    hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
-                    take = hb & box_b
-                    tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
-                    bt = jnp.where(take, t, bt)
-                    btri = jnp.where(take, tid, btri)
-                    bu = jnp.where(take, u, bu)
-                    bv = jnp.where(take, v, bv)
-                    hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
-                    occ = jnp.where(hl & box_l, 1.0, occ)
-                return bt, btri, bu, bv, occ
+        def body(state):
+            sp, bt, btri, bu, bv, occ = state
+            iid = stack_ref[sp - 1]
+            sp = sp - 1
+            vals = _fetch_row(fat_ref, iid, rows=29)
+            cap_l = jnp.where(occ > 0.0, 0.0, tmax_l)
+            boxes_b = [
+                _slab_test(vals, obx, oby, obz, ibx, iby, ibz, bt, off=6 * k) for k in range(4)
+            ]
+            boxes_l = [
+                _slab_test(vals, olx, oly, olz, ilx, ily, ilz, cap_l, off=6 * k)
+                for k in range(4)
+            ]
+            anys = [jnp.any(b | s) for b, s in zip(boxes_b, boxes_l)]
+            fields, metas, om_s, om_l, om_r = _fat4_decode(vals)
 
-            return leaf_body
+            def make_leaf(first, box_b, box_l):
+                def leaf_body(k, carry):
+                    bt, btri, bu, bv, occ = carry
+                    for tv in _tri_groups(tris_ref, first + k):
+                        hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
+                        take = hb & box_b
+                        tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
+                        bt = jnp.where(take, t, bt)
+                        btri = jnp.where(take, tid, btri)
+                        bu = jnp.where(take, u, bu)
+                        bv = jnp.where(take, v, bv)
+                        hl, _, _, _ = _moller(tv, ox, oy, oz, lx, ly, lz, tmax_l)
+                        occ = jnp.where(hl & box_l, 1.0, occ)
+                    return bt, btri, bu, bv, occ
 
-        carry = (bt, btri, bu, bv, occ)
-        for k in range(4):
-            is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
-            n_k = jnp.where(anys[k] & is_leaf, fields[k], 0)
-            carry = jax.lax.fori_loop(
-                0, n_k, make_leaf(metas[k], boxes_b[k], boxes_l[k]), carry
+                return leaf_body
+
+            carry = (bt, btri, bu, bv, occ)
+            for k in range(4):
+                is_leaf = (fields[k] > 0) & (fields[k] <= MAX_LEAF_FIELD)
+                gate, first_local = gate_fn(metas[k], anys[k] & is_leaf)
+                n_k = jnp.where(gate, fields[k], 0)
+                carry = jax.lax.fori_loop(
+                    0, n_k, make_leaf(first_local, boxes_b[k], boxes_l[k]), carry
+                )
+            bt, btri, bu, bv, occ = carry
+
+            ns = _near_first(om_s, pos_x, pos_y, pos_z)
+            nl = _near_first(om_l, pos_x, pos_y, pos_z)
+            nr = _near_first(om_r, pos_x, pos_y, pos_z)
+            oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
+            idL_n = jnp.where(nl, metas[0], metas[1])
+            idL_f = jnp.where(nl, metas[1], metas[0])
+            okL_n = jnp.where(nl, oks[0], oks[1])
+            okL_f = jnp.where(nl, oks[1], oks[0])
+            idR_n = jnp.where(nr, metas[2], metas[3])
+            idR_f = jnp.where(nr, metas[3], metas[2])
+            okR_n = jnp.where(nr, oks[2], oks[3])
+            okR_f = jnp.where(nr, oks[3], oks[2])
+            push_ids = (
+                jnp.where(ns, idR_f, idL_f),
+                jnp.where(ns, idR_n, idL_n),
+                jnp.where(ns, idL_f, idR_f),
+                jnp.where(ns, idL_n, idR_n),
             )
-        bt, btri, bu, bv, occ = carry
+            push_oks = (
+                jnp.where(ns, okR_f, okL_f),
+                jnp.where(ns, okR_n, okL_n),
+                jnp.where(ns, okL_f, okR_f),
+                jnp.where(ns, okL_n, okR_n),
+            )
+            for pid, pok in zip(push_ids, push_oks):
+                sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
+                stack_ref[sp_c] = pid
+                sp = jnp.where(pok, sp_c + 1, sp_c)
+            return sp, bt, btri, bu, bv, occ
 
-        ns = _near_first(om_s, pos_x, pos_y, pos_z)
-        nl = _near_first(om_l, pos_x, pos_y, pos_z)
-        nr = _near_first(om_r, pos_x, pos_y, pos_z)
-        oks = [anys[k] & (fields[k] >= INNER_FIELD) for k in range(4)]
-        idL_n = jnp.where(nl, metas[0], metas[1])
-        idL_f = jnp.where(nl, metas[1], metas[0])
-        okL_n = jnp.where(nl, oks[0], oks[1])
-        okL_f = jnp.where(nl, oks[1], oks[0])
-        idR_n = jnp.where(nr, metas[2], metas[3])
-        idR_f = jnp.where(nr, metas[3], metas[2])
-        okR_n = jnp.where(nr, oks[2], oks[3])
-        okR_f = jnp.where(nr, oks[3], oks[2])
-        push_ids = (
-            jnp.where(ns, idR_f, idL_f),
-            jnp.where(ns, idR_n, idL_n),
-            jnp.where(ns, idL_f, idR_f),
-            jnp.where(ns, idL_n, idR_n),
+        shape = ox.shape
+        init = (
+            jnp.int32(1),
+            tmaxb_ref[:],
+            jnp.full(shape, -1.0, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
         )
-        push_oks = (
-            jnp.where(ns, okR_f, okL_f),
-            jnp.where(ns, okR_n, okL_n),
-            jnp.where(ns, okL_f, okR_f),
-            jnp.where(ns, okL_n, okR_n),
-        )
-        for pid, pok in zip(push_ids, push_oks):
-            sp_c = jnp.minimum(sp, STACK_DEPTH - 2)
-            stack_ref[sp_c] = pid
-            sp = jnp.where(pok, sp_c + 1, sp_c)
-        return sp, bt, btri, bu, bv, occ
+        _, bt, btri, bu, bv, occ = jax.lax.while_loop(cond, body, init)
+        t_out[:] = bt
+        tri_out[:] = jnp.round(btri).astype(jnp.int32)
+        u_out[:] = bu
+        v_out[:] = bv
+        occ_out[:] = occ > 0.0
 
-    shape = ox.shape
-    init = (
-        jnp.int32(1),
-        tmaxb_ref[:],
-        jnp.full(shape, -1.0, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-    )
-    _, bt, btri, bu, bv, occ = jax.lax.while_loop(cond, body, init)
-    t_out[:] = bt
-    tri_out[:] = jnp.round(btri).astype(jnp.int32)
-    u_out[:] = bu
-    v_out[:] = bv
-    occ_out[:] = occ > 0.0
+    return _combo_fat4_kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+_combo_fat4_kernel = _make_combo_fat4_kernel()
+
+
+@partial(jax.jit, static_argnames=("interpret", "slot_range"))
 def pallas_shadow_closest_fat4(
-    o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False
+    o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False,
+    slot_range=None,
 ):
     """Fused shadow+bounce traversal over a pack_bvh_fat4 table (same
     contract as pallas_shadow_closest_fat)."""
@@ -1228,7 +1453,7 @@ def pallas_shadow_closest_fat4(
     tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
     tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
     out = _packed_call(
-        _combo_fat4_kernel,
+        _make_combo_fat4_kernel(slot_range),
         [rays_o["ox"], rays_o["oy"], rays_o["oz"],
          rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
          rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl],

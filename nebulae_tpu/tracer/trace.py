@@ -225,6 +225,7 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
     t_count = scene["tri_pos"].shape[0]
     has_packed = bvh is not None and (
         "chunks" in bvh
+        or "tri_chunks" in bvh
         or (("nodes" in bvh or "fatnodes" in bvh or "fat4nodes" in bvh) and "tris" in bvh)
     )
     mode = cfg.tracer
@@ -248,18 +249,32 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             pallas_any_hit,
             pallas_any_hit_fat,
             pallas_any_hit_fat4,
+            pallas_any_tri_chunks,
             pallas_closest_chunks,
             pallas_closest_hit,
             pallas_closest_hit_fat,
             pallas_closest_hit_fat4,
+            pallas_closest_tri_chunks,
             pallas_shadow_closest_chunks,
             pallas_shadow_closest_fat,
             pallas_shadow_closest_fat4,
+            pallas_shadow_closest_tri_chunks,
         )
 
         assert has_packed, "packed tables required for tracer='pallas'"
         interpret = jax.default_backend() != "tpu"
-        if "chunks" in bvh:  # Sponza-class: VMEM-sized subtree chunks
+        if "tri_chunks" in bvh:  # Sponza-class: whole-tree nodes, tri chunks
+            closest = partial(pallas_closest_tri_chunks, packed=bvh, interpret=interpret)
+            any_hit = partial(pallas_any_tri_chunks, packed=bvh, interpret=interpret)
+
+            def combo(o, b, l, t_max_b, t_max_l):
+                return pallas_shadow_closest_tri_chunks(
+                    o, b, l, bvh, t_max_b=t_max_b, t_max_l=t_max_l,
+                    interpret=interpret,
+                )
+
+            closest = _with_combo(closest, combo)
+        elif "chunks" in bvh:  # legacy: independent VMEM-sized subtree chunks
             closest = partial(pallas_closest_chunks, chunks=bvh["chunks"], interpret=interpret)
             any_hit = partial(pallas_any_chunks, chunks=bvh["chunks"], interpret=interpret)
 

@@ -67,19 +67,24 @@ def _translate(fs: FlatScene, offset: np.ndarray) -> FlatScene:
     return out
 
 
-def _ground_plane(lo, hi, mat_id: int, y: float) -> np.ndarray:
+def _ground_plane(lo, hi, mat_id: int, y: float, cells: int = 8) -> np.ndarray:
+    """Ground quad subdivided into cells x cells tiles.
+
+    Two scene-spanning triangles would have near-scene-sized AABBs: every
+    ray overlaps them, so every traversal descends into their subtree (and
+    under chunked tables, into their whole chunk) -- measured as most of the
+    chunked frame's overhead.  Subdivision keeps leaf AABBs local."""
     cx, cz = (lo[0] + hi[0]) / 2, (lo[2] + hi[2]) / 2
     ext = max(hi[0] - lo[0], hi[2] - lo[2]) * 1.5
-    x0, x1 = cx - ext, cx + ext
-    z0, z1 = cz - ext, cz + ext
-    quad = np.array(
-        [
-            [[x0, y, z0], [x1, y, z0], [x1, y, z1]],
-            [[x0, y, z0], [x1, y, z1], [x0, y, z1]],
-        ],
-        np.float32,
-    )
-    return quad
+    xs = np.linspace(cx - ext, cx + ext, cells + 1, dtype=np.float32)
+    zs = np.linspace(cz - ext, cz + ext, cells + 1, dtype=np.float32)
+    tris = []
+    for i in range(cells):
+        for j in range(cells):
+            x0, x1, z0, z1 = xs[i], xs[i + 1], zs[j], zs[j + 1]
+            tris.append([[x0, y, z0], [x1, y, z0], [x1, y, z1]])
+            tris.append([[x0, y, z0], [x1, y, z1], [x0, y, z1]])
+    return np.asarray(tris, np.float32)
 
 
 def _append_flat_tris(

@@ -465,3 +465,58 @@ def test_pallas_tri_group_parity(soup_setup):
     a2_1 = pallas_any_hit_fat(o_j, l_j, f2_1, t_max=0.5, interpret=True)
     a2_3 = pallas_any_hit_fat(o_j, l_j, f2_3, t_max=0.5, interpret=True)
     np.testing.assert_array_equal(np.asarray(a2_1), np.asarray(a2_3))
+
+
+def test_pallas_tri_chunks_match_single_table():
+    """Whole-tree nodes + triangle chunks (pack_bvh_tri_chunks): closest,
+    any-hit, and the fused shadow+bounce walk all match the single-table
+    fat4 kernel exactly -- leaves outside the resident chunk are skipped and
+    covered by a later pass with tightened caps."""
+    import jax
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels import pallas_trace as pt
+
+    tri = _soup(2000, seed=23)
+    bvh = build_bvh(tri, max_leaf=8)
+    single = pt.pack_bvh_fat4(bvh, tri, tri_group=4)
+    single = {k: jnp.asarray(v) for k, v in single.items() if k != "fat4_slots"}
+
+    # Force chunking by shrinking the budget (restore afterwards).
+    old_budget = pt.TRI_CHUNK_TABLE_BUDGET
+    pt.TRI_CHUNK_TABLE_BUDGET = single["fat4nodes"].nbytes + 32 * 1024
+    try:
+        packed = pt.pack_bvh_tri_chunks(bvh, tri, tri_group=4)
+    finally:
+        pt.TRI_CHUNK_TABLE_BUDGET = old_budget
+    assert packed is not None and len(packed["tri_chunks"]) >= 3, (
+        packed and len(packed["tri_chunks"])
+    )
+    packed = {
+        "fat4nodes": jnp.asarray(packed["fat4nodes"]),
+        "tri_chunks": [jax.tree.map(jnp.asarray, c) for c in packed["tri_chunks"]],
+    }
+
+    o, d = _rays(1024, seed=31)
+    one = pt.pallas_closest_hit_fat4(jnp.asarray(o), jnp.asarray(d), single, interpret=True)
+    many = pt.pallas_closest_tri_chunks(jnp.asarray(o), jnp.asarray(d), packed, interpret=True)
+    np.testing.assert_array_equal(np.asarray(one["tri"]), np.asarray(many["tri"]))
+    hit = np.asarray(one["tri"]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(one["t"])[hit], np.asarray(many["t"])[hit], rtol=1e-6, atol=1e-7
+    )
+
+    occ1 = np.asarray(pt.pallas_any_hit_fat4(jnp.asarray(o), jnp.asarray(d), single, interpret=True))
+    occ2 = np.asarray(pt.pallas_any_tri_chunks(jnp.asarray(o), jnp.asarray(d), packed, interpret=True))
+    np.testing.assert_array_equal(occ1, occ2)
+
+    _, l = _rays(1024, seed=32)
+    h1, s1 = pt.pallas_shadow_closest_fat4(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(l), single, t_max_l=0.6, interpret=True
+    )
+    h2, s2 = pt.pallas_shadow_closest_tri_chunks(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(l), packed, t_max_l=0.6, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h1["tri"]), np.asarray(h2["tri"]))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
