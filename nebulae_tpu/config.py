@@ -127,19 +127,23 @@ class RenderConfig:
     # 182, sorted shadow any 42 vs 47, fused shadow+bounce 178 vs 206.
     bvh_wide: int = 4
     # Beyond SINGLE_TABLE_MAX_TRIS (Sponza-class) the traversal tables no
-    # longer fit VMEM; two chunking strategies exist (both exact, pixels
-    # bit-identical on the 247k-tri bench scene):
+    # longer fit VMEM; strategies (all exact, pixels bit-identical on the
+    # 247k- and 990k-tri probe scenes):
     #   "subtree": independent VMEM-sized subtree chunks chained with
-    #       tightening t caps (pack_bvh_chunks).
+    #       tightening t caps (pack_bvh_chunks) -- one re-walk per chunk.
+    #   "paged": ONE full fat4 table; triangles stay in HBM behind a
+    #       demand-paged VMEM cache in the kernel (_tri_groups_paged) --
+    #       one walk total, no VMEM size ceiling.
     #   "tri": whole-tree fat4 nodes resident every pass, VMEM-sized
     #       TRIANGLE chunks with static slot-range leaf gating
     #       (pack_bvh_tri_chunks) -- one true-tree walk per chunk.
-    # Measured on TPU v5e (247k tris, 1080p frame): subtree 395 ms vs tri
-    # 460 ms.  With localized leaf AABBs (the scene-spanning ground quad is
-    # subdivided; see utils/testscenes._ground_plane) subtree chunks rarely
-    # overlap, so two half-tree walks beat two whole-tree walks.  "tri" is
-    # kept for scenes whose SAH cuts overlap badly.
-    chunk_mode: str = "subtree"
+    #   "auto" (default): subtree when the scene needs <= 3 chunks, paged
+    #       beyond.  Measured on TPU v5e 1080p frames: 247k tris (2 chunks)
+    #       subtree 395 ms < paged 415 < tri 460; 990k tris (16 chunks)
+    #       paged 462 ms < subtree 552.  Chunk re-walk cost scales with the
+    #       chunk count while paged pays one walk + miss DMAs, so paged
+    #       wins once the table is a few times the VMEM budget.
+    chunk_mode: str = "auto"
 
 
 if struct is not None:

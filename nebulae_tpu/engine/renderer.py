@@ -260,7 +260,27 @@ class Renderer:
             pack_fat = pack_bvh_fat4 if cfg.bvh_wide == 4 else pack_bvh_fat
             flat_bvh = build_bvh_fast(flat_scene.tri_pos, max_leaf=cfg.bvh_max_leaf)
             bvh = flat_bvh.device_arrays()
-            if t_count > SINGLE_TABLE_MAX_TRIS:
+            chunk_mode = cfg.chunk_mode
+            if chunk_mode == "auto":
+                # Measured crossover (config.py chunk_mode notes): subtree
+                # re-walks win while the scene is <= 3 chunks, demand-paged
+                # streaming wins beyond.
+                from nebulae_tpu.kernels.pallas_trace import MAX_CHUNK_TRIS
+
+                est_chunks = -(-t_count // MAX_CHUNK_TRIS)
+                chunk_mode = "subtree" if est_chunks <= 3 else "paged"
+            if t_count > SINGLE_TABLE_MAX_TRIS and chunk_mode == "paged" and cfg.bvh_wide == 4:
+                # Sponza-class, demand-paged: ONE full fat4 table; the
+                # kernels keep the tri table in HBM behind a paged VMEM
+                # cache (make_tracer flips `paged` on by table size).
+                from nebulae_tpu.kernels.pallas_trace import pad_tris_for_paging
+
+                packed_full = pack_bvh_fat4(
+                    flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                )
+                packed_full["tris"] = pad_tris_for_paging(packed_full["tris"])
+                bvh.update(packed_full)
+            elif t_count > SINGLE_TABLE_MAX_TRIS:
                 # Sponza-class: VMEM-sized chunks (cfg.chunk_mode picks the
                 # strategy; "tri" needs fat4 and falls back to subtree when
                 # the whole-tree node table alone busts the VMEM budget).
@@ -268,7 +288,7 @@ class Renderer:
                     pack_bvh_tri_chunks(
                         flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
                     )
-                    if cfg.chunk_mode == "tri" and cfg.bvh_wide == 4
+                    if chunk_mode == "tri" and cfg.bvh_wide == 4
                     else None
                 )
                 if tri_chunked is not None:

@@ -608,11 +608,17 @@ def _fetch_row(table_ref, idx, rows: int | None = None):
     stay [1,128] lane-uniform slices downstream (sublane-only broadcasts).
     `rows` limits the select to the leading rows actually used (tri blocks
     carry 6 reserved rows)."""
-    tile = table_ref[idx // LANES]
+    return _lane_select(table_ref[idx // LANES], idx % LANES, rows)
+
+
+def _lane_select(tile, lane, rows: int | None = None):
+    """tile [R, 128], traced lane index -> [rows, 128] lane-replicated
+    column (the select half of _fetch_row, for already-resident tiles)."""
     if rows is None:
         rows = tile.shape[0]
     else:
         tile = tile[:rows]
+    idx = lane  # lane index within the tile
     if _FETCH_MODE == "mxu":
         # [LANES, LANES] matrix whose every column is the same one-hot row
         # select: (tile @ M)[i, j] = tile[i, idx] -- the result arrives
@@ -648,6 +654,57 @@ def _tri_groups(tris_ref, slot):
     g = tris_ref.shape[1] // 16
     tv = _fetch_row(tris_ref, slot, rows=16 * (g - 1) + 10)
     return [tv[16 * i : 16 * i + 10] for i in range(g)]
+
+
+# Demand-paging geometry for HBM-streamed tri tables: a page is PAGE_TILES
+# consecutive [16G, 128] tile blocks (DMA latency ~1 us dominates the
+# transfer at 64 KB, so multi-tile pages amortize it while pre-order slot
+# locality keeps them hot), cached 2-way direct-mapped by page parity so a
+# leaf run straddling a page boundary doesn't thrash.
+PAGE_TILES = int(_os0.environ.get("NEB_PAGE_TILES", "4"))
+PAGE_WAYS = 2
+
+
+def _tri_groups_paged(tris_hbm, tri_buf, res_ref, sem, slot):
+    """_tri_groups over an HBM-resident tri table with a paged VMEM cache.
+
+    `tris_hbm` lives in ANY/HBM (padded to a multiple of PAGE_TILES tile
+    blocks); `tri_buf` is a VMEM scratch of PAGE_WAYS pages and `res_ref`
+    (SMEM [PAGE_WAYS]) the resident page ids.  On a miss the page is DMA'd
+    in with full latency exposed -- leaf slots are pre-order contiguous, so
+    coherent packets mostly re-hit a resident page, and the cache persists
+    across grid steps so spatially adjacent packets start warm."""
+    g = tri_buf.shape[1] // 16
+    blk = slot // LANES
+    page = blk // PAGE_TILES
+    way = page % PAGE_WAYS
+
+    @pl.when(page != res_ref[way])
+    def _():
+        dma = pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(page * PAGE_TILES, PAGE_TILES)],
+            tri_buf.at[pl.ds(way * PAGE_TILES, PAGE_TILES)],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        res_ref[way] = page
+
+    tile = tri_buf[way * PAGE_TILES + (blk % PAGE_TILES)]
+    tv = _lane_select(tile, slot % LANES, rows=16 * (g - 1) + 10)
+    return [tv[16 * i : 16 * i + 10] for i in range(g)]
+
+
+def pad_tris_for_paging(tris: np.ndarray) -> np.ndarray:
+    """Pad a [tb, 16G, 128] tri table to a PAGE_TILES multiple of tile
+    blocks so paged DMA never reads past the end (zero tiles are never
+    referenced by any leaf)."""
+    pad = (-tris.shape[0]) % PAGE_TILES
+    if pad:
+        tris = np.concatenate(
+            [tris, np.zeros((pad,) + tris.shape[1:], tris.dtype)], axis=0
+        )
+    return tris
 
 
 def _slab_test(vals, oix, oiy, oiz, ix, iy, iz, t_cap, off: int = 0):
@@ -1106,16 +1163,34 @@ def _leaf_gate(slot_range):
     return gate_fn
 
 
+def _paged_fetch(tris_ref, paged_scratch):
+    """Pick the leaf tri fetch: VMEM-resident table or HBM demand paging
+    (see _tri_groups_paged).  Initializes the resident-block id once per
+    kernel launch (scratch persists across grid steps, so later packets
+    start warm)."""
+    if not paged_scratch:
+        return lambda s: _tri_groups(tris_ref, s)
+    tri_buf, res_ref, sem = paged_scratch
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for w in range(PAGE_WAYS):
+            res_ref[w] = -1
+
+    return lambda s: _tri_groups_paged(tris_ref, tri_buf, res_ref, sem, s)
+
+
 @_lru_cache(maxsize=None)
-def _make_closest_fat4_kernel(slot_range=None):
+def _make_closest_fat4_kernel(slot_range=None, paged=False):
     gate_fn = _leaf_gate(slot_range)
 
     def _closest_fat4_kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         fat_ref, tris_ref,
         t_out, tri_out, u_out, v_out,
-        stack_ref,
+        stack_ref, *paged_scratch,
     ):
+        tri_fetch = _paged_fetch(tris_ref, paged_scratch)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -1143,7 +1218,7 @@ def _make_closest_fat4_kernel(slot_range=None):
             def make_leaf(first, box):
                 def leaf_body(k, carry):
                     bt, btri, bu, bv = carry
-                    for tv in _tri_groups(tris_ref, first + k):
+                    for tv in tri_fetch(first + k):
                         h, t, u, v = _moller(tv, ox, oy, oz, dx, dy, dz, bt)
                         take = h & box
                         tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
@@ -1215,15 +1290,16 @@ _closest_fat4_kernel = _make_closest_fat4_kernel()
 
 
 @_lru_cache(maxsize=None)
-def _make_any_fat4_kernel(slot_range=None):
+def _make_any_fat4_kernel(slot_range=None, paged=False):
     gate_fn = _leaf_gate(slot_range)
 
     def _any_fat4_kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         fat_ref, tris_ref,
         occ_out,
-        stack_ref,
+        stack_ref, *paged_scratch,
     ):
+        tri_fetch = _paged_fetch(tris_ref, paged_scratch)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -1253,7 +1329,7 @@ def _make_any_fat4_kernel(slot_range=None):
 
             def make_leaf(first, box):
                 def leaf_body(k, occ):
-                    for tv in _tri_groups(tris_ref, first + k):
+                    for tv in tri_fetch(first + k):
                         h, _, _, _ = _moller(tv, ox, oy, oz, dx, dy, dz, tmax)
                         occ = jnp.where(h & box, 1.0, occ)
                     return occ
@@ -1284,39 +1360,41 @@ def _make_any_fat4_kernel(slot_range=None):
 _any_fat4_kernel = _make_any_fat4_kernel()
 
 
-@partial(jax.jit, static_argnames=("interpret", "slot_range"))
+@partial(jax.jit, static_argnames=("interpret", "slot_range", "paged"))
 def pallas_closest_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False,
-                            slot_range=None):
+                            slot_range=None, paged: bool = False):
     """Closest hit over a pack_bvh_fat4 table (same contract as
     pallas_closest_hit).  `slot_range=(lo, hi)`: tri-chunked traversal --
-    only leaves resident in the supplied tris table are intersected."""
+    only leaves resident in the supplied tris table are intersected.
+    `paged`: tri table stays in HBM with a one-block VMEM cache (no VMEM
+    size ceiling; see _tri_groups_paged)."""
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
     out = _packed_call(
-        _make_closest_fat4_kernel(slot_range),
+        _make_closest_fat4_kernel(slot_range, paged),
         [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
         [packed["fat4nodes"], packed["tris"]],
-        4, n_tiles, interpret,
+        4, n_tiles, interpret, paged=paged,
     )
     return _unpack_hit(out, n)
 
 
-@partial(jax.jit, static_argnames=("interpret", "slot_range"))
+@partial(jax.jit, static_argnames=("interpret", "slot_range", "paged"))
 def pallas_any_hit_fat4(o, d, packed: dict, t_max=jnp.inf, interpret: bool = False,
-                        slot_range=None):
+                        slot_range=None, paged: bool = False):
     rays, n_tiles, n = pack_rays(o, d)
     tmax = _tmax_tiles(t_max, n, n_tiles)
     out = _packed_call(
-        _make_any_fat4_kernel(slot_range),
+        _make_any_fat4_kernel(slot_range, paged),
         [rays["ox"], rays["oy"], rays["oz"], rays["dx"], rays["dy"], rays["dz"], tmax],
         [packed["fat4nodes"], packed["tris"]],
-        1, n_tiles, interpret,
+        1, n_tiles, interpret, paged=paged,
     )
     return out[:, 0].reshape(-1)[:n] > 0.0
 
 
 @_lru_cache(maxsize=None)
-def _make_combo_fat4_kernel(slot_range=None):
+def _make_combo_fat4_kernel(slot_range=None, paged=False):
     gate_fn = _leaf_gate(slot_range)
 
     def _combo_fat4_kernel(
@@ -1325,10 +1403,11 @@ def _make_combo_fat4_kernel(slot_range=None):
         lx_ref, ly_ref, lz_ref, tmaxl_ref,
         fat_ref, tris_ref,
         t_out, tri_out, u_out, v_out, occ_out,
-        stack_ref,
+        stack_ref, *paged_scratch,
     ):
         """Fused shadow+bounce walk over a fat4 table (see _combo_fat_kernel);
         4 slots x 2 ray sets = 8 slab tests per visit, ~2x fewer visits."""
+        tri_fetch = _paged_fetch(tris_ref, paged_scratch)
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         bx, by, bz = bx_ref[:], by_ref[:], bz_ref[:]
         lx, ly, lz = lx_ref[:], ly_ref[:], lz_ref[:]
@@ -1365,7 +1444,7 @@ def _make_combo_fat4_kernel(slot_range=None):
             def make_leaf(first, box_b, box_l):
                 def leaf_body(k, carry):
                     bt, btri, bu, bv, occ = carry
-                    for tv in _tri_groups(tris_ref, first + k):
+                    for tv in tri_fetch(first + k):
                         hb, t, u, v = _moller(tv, ox, oy, oz, bx, by, bz, bt)
                         take = hb & box_b
                         tid = jnp.broadcast_to(tv[9:10, :], bt.shape)
@@ -1441,10 +1520,10 @@ def _make_combo_fat4_kernel(slot_range=None):
 _combo_fat4_kernel = _make_combo_fat4_kernel()
 
 
-@partial(jax.jit, static_argnames=("interpret", "slot_range"))
+@partial(jax.jit, static_argnames=("interpret", "slot_range", "paged"))
 def pallas_shadow_closest_fat4(
     o, b, l, packed: dict, t_max_b=jnp.inf, t_max_l=jnp.inf, interpret: bool = False,
-    slot_range=None,
+    slot_range=None, paged: bool = False,
 ):
     """Fused shadow+bounce traversal over a pack_bvh_fat4 table (same
     contract as pallas_shadow_closest_fat)."""
@@ -1453,12 +1532,12 @@ def pallas_shadow_closest_fat4(
     tmaxb = _tmax_tiles(t_max_b, n, n_tiles)
     tmaxl = _tmax_tiles(t_max_l, n, n_tiles)
     out = _packed_call(
-        _make_combo_fat4_kernel(slot_range),
+        _make_combo_fat4_kernel(slot_range, paged),
         [rays_o["ox"], rays_o["oy"], rays_o["oz"],
          rays_o["dx"], rays_o["dy"], rays_o["dz"], tmaxb,
          rays_l["dx"], rays_l["dy"], rays_l["dz"], tmaxl],
         [packed["fat4nodes"], packed["tris"]],
-        5, n_tiles, interpret,
+        5, n_tiles, interpret, paged=paged,
     )
     return _unpack_hit(out, n), out[:, 4].reshape(-1)[:n] > 0.0
 
@@ -1652,30 +1731,53 @@ def _pack_ray_block(comps, n_tiles):
     return stacked.reshape(n_tiles * c * SUB, LANES)
 
 
-def _packed_call(body, comps, tables, n_out, n_tiles, interpret):
+def _packed_call(body, comps, tables, n_out, n_tiles, interpret, paged=False):
     """Run a traversal kernel body under the packed-operand convention.
 
     body's positional contract: (*input refs, *table refs, *output refs,
-    stack scratch); returns [n_tiles, n_out, SUB*LANES] f32."""
+    stack scratch[, paged scratch]); returns [n_tiles, n_out, SUB*LANES]
+    f32.  With `paged`, the LAST table (the tri table) stays in HBM
+    (memory_space=ANY) and the kernel gets a one-block VMEM cache +
+    resident id + DMA semaphore (see _tri_groups_paged)."""
     n_comp = len(comps)
     blk = _pack_ray_block(comps, n_tiles)
     rspec = pl.BlockSpec((n_comp * SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((n_out * SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def kern(rays_ref, *rest):
-        *table_refs, out_ref, stack_ref = rest
+        if paged:
+            *table_refs, out_ref, stack_ref, tri_buf, res_ref, sem = rest
+            scratch = (stack_ref, tri_buf, res_ref, sem)
+        else:
+            *table_refs, out_ref, stack_ref = rest
+            scratch = (stack_ref,)
         r = rays_ref[:]
         ins = [_PackedIn(r[i * SUB : (i + 1) * SUB]) for i in range(n_comp)]
         outs = [_PackedOut(out_ref, i * SUB) for i in range(n_out)]
-        body(*ins, *table_refs, *outs, stack_ref)
+        body(*ins, *table_refs, *outs, *scratch)
 
+    table_specs = [_table_spec()] * len(tables)
+    scratch_shapes = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+    if paged:
+        assert tables[-1].shape[0] % PAGE_TILES == 0, (
+            "paged tri table must be padded to PAGE_TILES blocks "
+            "(pad_tris_for_paging)"
+        )
+        table_specs[-1] = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes += [
+            pltpu.VMEM(
+                (PAGE_WAYS * PAGE_TILES,) + tuple(tables[-1].shape[1:]), jnp.float32
+            ),
+            pltpu.SMEM((PAGE_WAYS,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[rspec] + [_table_spec()] * len(tables),
+        in_specs=[rspec] + table_specs,
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * n_out * SUB, LANES), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(blk, *tables)
     return out.reshape(n_tiles, n_out, SUB * LANES)

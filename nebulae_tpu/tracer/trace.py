@@ -287,12 +287,26 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             closest = _with_combo(closest, combo)
         elif "fat4nodes" in bvh:  # grandchildren-at-node layout (bvh_wide=4)
             packed = {"fat4nodes": bvh["fat4nodes"], "tris": bvh["tris"]}
-            closest = partial(pallas_closest_hit_fat4, packed=packed, interpret=interpret)
-            any_hit = partial(pallas_any_hit_fat4, packed=packed, interpret=interpret)
+            # Tables past the VMEM budget stream triangles from HBM with a
+            # one-block demand-paged cache (chunk_mode="paged"); sizes are
+            # static so this resolves at trace time.
+            from nebulae_tpu.kernels.pallas_trace import TRI_CHUNK_TABLE_BUDGET
+
+            paged = (
+                4 * (packed["fat4nodes"].size + packed["tris"].size)
+                > TRI_CHUNK_TABLE_BUDGET
+            )
+            closest = partial(
+                pallas_closest_hit_fat4, packed=packed, interpret=interpret, paged=paged
+            )
+            any_hit = partial(
+                pallas_any_hit_fat4, packed=packed, interpret=interpret, paged=paged
+            )
 
             def combo(o, b, l, t_max_b, t_max_l):
                 return pallas_shadow_closest_fat4(
-                    o, b, l, packed, t_max_b=t_max_b, t_max_l=t_max_l, interpret=interpret
+                    o, b, l, packed, t_max_b=t_max_b, t_max_l=t_max_l,
+                    interpret=interpret, paged=paged,
                 )
 
             closest = _with_combo(closest, combo)

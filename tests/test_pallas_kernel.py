@@ -520,3 +520,43 @@ def test_pallas_tri_chunks_match_single_table():
     )
     np.testing.assert_array_equal(np.asarray(h1["tri"]), np.asarray(h2["tri"]))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_pallas_paged_match_resident():
+    """Demand-paged traversal (tri table in HBM behind a PAGE_WAYS x
+    PAGE_TILES VMEM cache) matches the VMEM-resident fat4 kernels exactly
+    on closest, any-hit, and the fused shadow+bounce walk."""
+    import jax.numpy as jnp
+
+    from nebulae_tpu.bvh.builder import build_bvh
+    from nebulae_tpu.kernels import pallas_trace as pt
+
+    tri = _soup(2400, seed=29)
+    bvh = build_bvh(tri, max_leaf=8)
+    packed = pt.pack_bvh_fat4(bvh, tri, tri_group=1)
+    single = {k: jnp.asarray(v) for k, v in packed.items() if k != "fat4_slots"}
+    paged = dict(single, tris=jnp.asarray(pt.pad_tris_for_paging(packed["tris"])))
+    assert paged["tris"].shape[0] >= 3 * pt.PAGE_TILES, paged["tris"].shape
+
+    o, d = _rays(512, seed=41)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    one = pt.pallas_closest_hit_fat4(o, d, single, interpret=True)
+    two = pt.pallas_closest_hit_fat4(o, d, paged, interpret=True, paged=True)
+    np.testing.assert_array_equal(np.asarray(one["tri"]), np.asarray(two["tri"]))
+    hit = np.asarray(one["tri"]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(one["t"])[hit], np.asarray(two["t"])[hit], rtol=1e-6, atol=1e-7
+    )
+
+    a1 = pt.pallas_any_hit_fat4(o, d, single, t_max=0.6, interpret=True)
+    a2 = pt.pallas_any_hit_fat4(o, d, paged, t_max=0.6, interpret=True, paged=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    _, l = _rays(512, seed=42)
+    l = jnp.asarray(l)
+    h1, s1 = pt.pallas_shadow_closest_fat4(o, d, l, single, t_max_l=0.6, interpret=True)
+    h2, s2 = pt.pallas_shadow_closest_fat4(
+        o, d, l, paged, t_max_l=0.6, interpret=True, paged=True
+    )
+    np.testing.assert_array_equal(np.asarray(h1["tri"]), np.asarray(h2["tri"]))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
