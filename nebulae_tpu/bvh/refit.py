@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nebulae_tpu.bvh.builder import FlatBVH
+from nebulae_tpu.kernels.pallas_trace import TRI_STRIDE
 
 
 def compute_levels(bvh: FlatBVH) -> list[np.ndarray]:
@@ -123,19 +124,19 @@ def repack_pallas_tris(tris, tri_pos, slot_tri: np.ndarray):
     """Rewrite the grouped triangle table's vertex data (v0/e1/e2 rows) for
     moved geometry; the tid row and slot layout are topology, unchanged.
 
-    tris [tb, 16*G, 128] (kernels.pallas_trace._grouped_tris layout);
+    tris [tb, TRI_STRIDE*G, 128] (kernels.pallas_trace._grouped_tris layout);
     tri_pos [T, 3, 3] jnp; slot_tri [tb*128, G] host-static id map
     (kernels.pallas_trace.grouped_tri_ids)."""
     slot_tri = np.asarray(slot_tri)
     tb, rows_g, lanes = tris.shape
-    g_count = rows_g // 16
+    g_count = rows_g // TRI_STRIDE
     t = tri_pos.shape[0]
     flat = jnp.transpose(tris, (0, 2, 1)).reshape(tb * lanes, rows_g)
     for g in range(g_count):
         sid = slot_tri[:, g]
         valid = (sid >= 0)[:, None]
         tp = tri_pos[np.clip(sid, 0, max(t - 1, 0))]
-        r0 = 16 * g
+        r0 = TRI_STRIDE * g
         flat = flat.at[:, r0 + 0 : r0 + 3].set(jnp.where(valid, tp[:, 0], 0.0))
         flat = flat.at[:, r0 + 3 : r0 + 6].set(jnp.where(valid, tp[:, 1] - tp[:, 0], 0.0))
         flat = flat.at[:, r0 + 6 : r0 + 9].set(jnp.where(valid, tp[:, 2] - tp[:, 0], 0.0))

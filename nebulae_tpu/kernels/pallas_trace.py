@@ -31,8 +31,9 @@ Memory layout (built host-side by `pack_bvh_for_pallas`):
         rays in a tile share direction signs (octant-sorted upstream), so one
         scalar compare per node picks the child order that tightens the
         closest-hit t cap earliest.
-  tris  [Tb, 16, 128] f32 -- triangle j at block j>>7, lane j&127:
-        rows 0-2 v0, 3-5 e1, 6-8 e2, 9 original-id (f32), 10-15 reserved.
+  tris  [Tb, TRI_STRIDE*G, 128] f32 -- triangle slot j at block j>>7,
+        lane j&127: per group member rows 0-2 v0, 3-5 e1, 6-8 e2,
+        9 original-id (f32) at offset TRI_STRIDE*g.
 
 Rays are SoA [T*8, 128] f32 per component; grid = ray tiles (sequential on
 the single TensorCore; lanes are the parallelism).
@@ -59,6 +60,12 @@ import os as _os0
 SUB = int(_os0.environ.get("NEB_SUB", "8"))
 LANES = 128
 TILE = SUB * LANES  # rays per packet
+# Rows per triangle in the grouped tri tables: 10 used (v0/e1/e2/id).  The
+# old stride of 16 carried 6 dead rows per triangle straight through the
+# kernel's cross-lane row fetch -- the single most expensive per-leaf op --
+# and through HBM; 10 shrinks both by 37.5%% at G=8 (rows stay a sublane
+# multiple: 10G %% 8 == 0 for the G=8 default and G=4).
+TRI_STRIDE = 10
 STACK_DEPTH = 128  # max tree depth + 1 (SAH trees of <=4M tris stay under)
 EPS = 1e-7
 META_SHIFT = 5  # enc = first_or_right * 32 + field (field in [0, 21])
@@ -101,7 +108,7 @@ def _grouped_tris(bvh, tri_pos: np.ndarray, tri_group: int):
     )
 
     tb = max((ns + LANES - 1) // LANES, 1)
-    flat = np.zeros((tb * LANES, 16 * G), np.float32)
+    flat = np.zeros((tb * LANES, TRI_STRIDE * G), np.float32)
     if ns:
         tperm = tri_pos[bvh.tri_index]
         tid = np.asarray(bvh.tri_index, np.float32)
@@ -112,12 +119,12 @@ def _grouped_tris(bvh, tri_pos: np.ndarray, tri_group: int):
             off = np.minimum(slot_in_leaf * G + g, c[leaf_of_slot] - 1)
             sel = base[leaf_of_slot] + off  # permuted-order positions
             tp = tperm[sel]
-            r0 = 16 * g
+            r0 = TRI_STRIDE * g
             flat[:ns, r0 + 0 : r0 + 3] = tp[:, 0]
             flat[:ns, r0 + 3 : r0 + 6] = tp[:, 1] - tp[:, 0]
             flat[:ns, r0 + 6 : r0 + 9] = tp[:, 2] - tp[:, 0]
             flat[:ns, r0 + 9] = tid[sel]
-    tris = np.ascontiguousarray(flat.reshape(tb, LANES, 16 * G).transpose(0, 2, 1))
+    tris = np.ascontiguousarray(flat.reshape(tb, LANES, TRI_STRIDE * G).transpose(0, 2, 1))
     return tris, slot_first, slot_count
 
 
@@ -291,7 +298,7 @@ def pack_bvh_tri_chunks(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict | 
     nodes_bytes = full["fat4nodes"].nbytes
     budget = TRI_CHUNK_TABLE_BUDGET - nodes_bytes
     g = int(tri_group)
-    bytes_per_slot = 16 * g * 4 * 1  # one [16G] f32 row per slot
+    bytes_per_slot = TRI_STRIDE * g * 4  # one [TRI_STRIDE*G] f32 row per slot
     max_slots = budget // bytes_per_slot
     if max_slots < LANES:  # nodes leave no useful room (< one tris tile)
         return None
@@ -646,14 +653,14 @@ def _tri_groups(tris_ref, slot):
     """Fetch one triangle slot; return per-triangle [10, 128] views.
 
     The tri table packs G triangles per lane slot (triangle g at rows
-    [16g, 16g+10)); G is static from the table shape.  Grouping replaces G
+    [TRI_STRIDE*g, TRI_STRIDE*g+10)); G is static from the table shape.  Grouping replaces G
     separate fetches + leaf-loop iterations with ONE wider row fetch: the
     lane-select cost is proportional to total rows either way, but the
     per-fetch overhead and the dynamic-trip-count loop iterations divide by
     G (sorted bounce closest 156 -> 112 ms at G=8, leaf 15, 2M rays)."""
-    g = tris_ref.shape[1] // 16
-    tv = _fetch_row(tris_ref, slot, rows=16 * (g - 1) + 10)
-    return [tv[16 * i : 16 * i + 10] for i in range(g)]
+    g = tris_ref.shape[1] // TRI_STRIDE
+    tv = _fetch_row(tris_ref, slot, rows=TRI_STRIDE * (g - 1) + 10)
+    return [tv[TRI_STRIDE * i : TRI_STRIDE * i + 10] for i in range(g)]
 
 
 # Demand-paging geometry for HBM-streamed tri tables: a page is PAGE_TILES
@@ -674,7 +681,7 @@ def _tri_groups_paged(tris_hbm, tri_buf, res_ref, sem, slot):
     in with full latency exposed -- leaf slots are pre-order contiguous, so
     coherent packets mostly re-hit a resident page, and the cache persists
     across grid steps so spatially adjacent packets start warm."""
-    g = tri_buf.shape[1] // 16
+    g = tri_buf.shape[1] // TRI_STRIDE
     blk = slot // LANES
     page = blk // PAGE_TILES
     way = page % PAGE_WAYS
@@ -691,8 +698,8 @@ def _tri_groups_paged(tris_hbm, tri_buf, res_ref, sem, slot):
         res_ref[way] = page
 
     tile = tri_buf[way * PAGE_TILES + (blk % PAGE_TILES)]
-    tv = _lane_select(tile, slot % LANES, rows=16 * (g - 1) + 10)
-    return [tv[16 * i : 16 * i + 10] for i in range(g)]
+    tv = _lane_select(tile, slot % LANES, rows=TRI_STRIDE * (g - 1) + 10)
+    return [tv[TRI_STRIDE * i : TRI_STRIDE * i + 10] for i in range(g)]
 
 
 def pad_tris_for_paging(tris: np.ndarray) -> np.ndarray:
