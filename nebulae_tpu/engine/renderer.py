@@ -426,7 +426,9 @@ class Renderer:
             meta["levels"] = compute_levels(host)
             g = 1
             if "tris" in self.bvh:
-                g = int(self.bvh["tris"].shape[1]) // 16
+                from nebulae_tpu.kernels.pallas_trace import TRI_STRIDE
+
+                g = int(self.bvh["tris"].shape[1]) // TRI_STRIDE
                 meta["slot_tri"] = grouped_tri_ids(host, g)
             if "fat4nodes" in self.bvh:
                 meta["fat4_slots"] = np.asarray(self.bvh["fat4_slots"])
