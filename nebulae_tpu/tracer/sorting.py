@@ -39,6 +39,15 @@ def _bucket_sizes(n: int):
     return [min(s, n) for s in sizes]
 
 
+def _scatter_unsort(b: int, n: int) -> bool:
+    """Unsort strategy per bucket: True -> scatter the [b]-prefix results back
+    to ray order (`.at[perm[:b]].set`), False -> carry them through a
+    full-width lax.sort keyed on perm.  Scatter cost scales with b (~116 ns/
+    row measured), sort cost with n (~3 ms/operand at 2M lanes); crossover
+    sits near b = n/32, so only the smallest compaction buckets scatter."""
+    return b * 32 <= n
+
+
 def _pad_tail(x, n: int, fill):
     b = x.shape[0]
     if b == n:
@@ -117,9 +126,20 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: b
             r = jnp.take(rows, perm[:b], axis=0)
             os, ds = r[:, 0:3], r[:, 3:6]
         hit = trace_fn(os, ds)
-        return tuple(
+        # Unsort INSIDE the branch so each bucket picks the cheap direction:
+        # tiny prefixes scatter their rows back to ray order (cost scales
+        # with b); larger ones ride the full-width multi-operand sort.
+        if _scatter_unsort(b, n):
+            return tuple(
+                jnp.full((n,), _MISS_FILL.get(name, 0), hit[name].dtype)
+                .at[perm[:b]]
+                .set(hit[name], mode="drop", unique_indices=True)
+                for name in extra_outputs
+            )
+        padded = tuple(
             _pad_tail(hit[name], n, _MISS_FILL.get(name, 0)) for name in extra_outputs
         )
+        return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
     sizes = _bucket_sizes(n) if compact else [n]
     if len(sizes) > 1:
@@ -128,8 +148,7 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: b
         outs = jax.lax.switch(sel, [lambda b=b: run(b) for b in sizes])
     else:
         outs = run(n)
-    unsorted = jax.lax.sort((perm, *outs), num_keys=1)[1:]
-    return dict(zip(extra_outputs, unsorted))
+    return dict(zip(extra_outputs, outs))
 
 
 def sorted_closest(closest_fn, o, d, key):
@@ -213,21 +232,30 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
         # occ rides the tri channel ((tri+1)*2 + occ, exact below 2^24):
         # every unsort operand costs ~3 ms at 2M lanes.
         tri_occ = (hit["tri"] + 1) * 2 + occ
-        return (
+        if _scatter_unsort(nb, n):
+            # Tiny live prefix: ONE [nb, 4] row scatter back to ray order
+            # beats the 5-operand full-width unsort (~7.5 vs ~15 ms at
+            # n/64; the sort stays cheaper above ~n/32).  tri_occ rides an
+            # f32 channel, exact below 2^24.
+            rows4 = jnp.stack(
+                [tri_occ.astype(jnp.float32), hit["t"], hit["u"], hit["v"]], axis=-1
+            )
+            base = jnp.tile(jnp.asarray([0.0, jnp.inf, 0.0, 0.0], jnp.float32), (n, 1))
+            out = base.at[perm[:nb]].set(rows4, mode="drop", unique_indices=True)
+            return out[:, 0].astype(jnp.int32), out[:, 1], out[:, 2], out[:, 3]
+        padded = (
             _pad_tail(tri_occ, n, 0),  # fill = tri -1, occ 0
             _pad_tail(hit["t"], n, jnp.inf),
             _pad_tail(hit["u"], n, 0.0),
             _pad_tail(hit["v"], n, 0.0),
         )
+        return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
     sizes = _bucket_sizes(n) if compact else [n]
     if len(sizes) > 1:
         n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
         sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        tri_occ, ht, hu, hv = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+        to_u, t, u, v = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
     else:
-        tri_occ, ht, hu, hv = run(n)
-    _, to_u, t, u, v = jax.lax.sort(
-        (perm, tri_occ, ht, hu, hv), num_keys=1
-    )
+        to_u, t, u, v = run(n)
     return (to_u & 1) > 0, {"t": t, "tri": (to_u >> 1) - 1, "u": u, "v": v}
