@@ -1,0 +1,81 @@
+"""Compacted-sort unsort strategies: every bucket (prefix row-scatter for
+tiny live counts, full-width sort-carry otherwise, sorting._scatter_unsort)
+must return identical hits/occlusion in ray order."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nebulae_tpu.config import RenderConfig
+from nebulae_tpu.tracer.sorting import ray_sort_key, sorted_any, sorted_shadow_closest
+from nebulae_tpu.tracer.trace import make_tracer
+
+N = 32 * 1024
+
+
+@pytest.fixture(scope="module")
+def setup(cornell_scene):
+    scene = {k: jnp.asarray(v) for k, v in cornell_scene.flat.device_arrays().items()}
+    cfg = RenderConfig(tracer="bruteforce", fast_bounce_shading=True)
+    closest_fn, any_fn = make_tracer(scene, None, cfg)
+
+    rng = np.random.default_rng(7)
+    lo = np.asarray(scene["aabb_min"])
+    hi = np.asarray(scene["aabb_max"])
+    o = rng.uniform(lo + 0.25 * (hi - lo), hi - 0.25 * (hi - lo), (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    l = rng.normal(size=(N, 3)).astype(np.float32) * 0.05 + np.array([0.3, 0.9, 0.3])
+    l = (l / np.linalg.norm(l, axis=-1, keepdims=True)).astype(np.float32)
+    return scene, closest_fn, any_fn, jnp.asarray(o), jnp.asarray(d), jnp.asarray(l)
+
+
+# live counts selecting: the 1024 bucket (prefix row-scatter unsort), a
+# mid bucket (sort-carry unsort), and the full-width path.
+@pytest.mark.parametrize("n_live", [700, 3000, 30000])
+def test_buckets_agree_with_uncompacted(setup, n_live):
+    scene, closest_fn, any_fn, o, d, l = setup
+    alive = jnp.roll(jnp.arange(N) < n_live, 123)
+    key = ray_sort_key(
+        o, d, scene["aabb_min"], scene["aabb_max"], alive,
+        low_bits=alive.astype(jnp.int32) + 2 * alive.astype(jnp.int32),
+    )
+
+    occ_c, hit_c = sorted_shadow_closest(any_fn, closest_fn, o, l, d, key)
+    occ_f, hit_f = sorted_shadow_closest(any_fn, closest_fn, o, l, d, key, compact=False)
+
+    live = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(occ_c)[live], np.asarray(occ_f)[live])
+    # The XLA bruteforce tracer vectorizes differently per batch width, so t
+    # lands within a few ULP across bucket sizes (the Pallas kernels, with
+    # fixed tile shapes, are bit-exact; tests/test_pallas_kernel.py).
+    np.testing.assert_array_equal(
+        np.asarray(hit_c["tri"])[live], np.asarray(hit_f["tri"])[live],
+        err_msg="hit[tri] differs on live lanes (bucket vs full)",
+    )
+    for k in ("t", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(hit_c[k])[live], np.asarray(hit_f[k])[live],
+            rtol=1e-5, atol=1e-6,
+            err_msg=f"hit[{k}] differs on live lanes (bucket vs full)",
+        )
+    # dead lanes hold the miss record in every strategy
+    dead = ~live
+    assert not np.asarray(occ_c)[dead].any()
+    assert (np.asarray(hit_c["tri"])[dead] == -1).all()
+    assert np.isinf(np.asarray(hit_c["t"])[dead]).all()
+
+
+@pytest.mark.parametrize("n_live", [700, 30000])
+def test_sorted_any_buckets(setup, n_live):
+    scene, closest_fn, any_fn, o, d, l = setup
+    alive = jnp.roll(jnp.arange(N) < n_live, 77)
+    from nebulae_tpu.tracer.sorting import DEAD_ORIGIN
+
+    o_sh = jnp.where(alive[:, None], o, DEAD_ORIGIN)
+    key = ray_sort_key(o_sh, l, scene["aabb_min"], scene["aabb_max"], alive)
+    occ = sorted_any(any_fn, o_sh, l, key)
+    occ_ref = any_fn(o_sh, l)
+    live = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(occ)[live], np.asarray(occ_ref)[live])
+    assert not np.asarray(occ)[~live].any()
