@@ -111,29 +111,44 @@ def main() -> None:
     except Exception:
         pass
 
-    # --- chunked traversal at real Sponza scale (~247k tris, 4x4 field) ---
-    # Beyond SINGLE_TABLE_MAX_TRIS the BVH splits into VMEM-sized subtree
-    # chunks chained with tightening t caps (pallas_*_chunks); this measures
-    # that code path on hardware.  Isolated so a failure never kills the
-    # primary metric.
-    chunked = None
-    try:
-        fs4 = helmet_field(4, 4, max_texture_dim=512)
-        r4 = Renderer(fs4, cfg)
-        cam4 = bench_camera(fs4)
-        out = r4.render(cam4)
+    # --- Sponza scale and beyond ---
+    # (a) ~247k tris (4x4 field): since round 3 the packed fat4 tables
+    #     (14.8 MB) fit VMEM outright (byte-accurate single-table gate), so
+    #     this measures the RESIDENT path at real-Sponza triangle count.
+    # (b) ~385k tris (5x5 field): past the VMEM budget -- measures the
+    #     chunked/paged traversal machinery on hardware.
+    # Each isolated so a failure never kills the primary metric.
+    def _scene_probe(grid, iters=3):
+        fsn = helmet_field(grid, grid, max_texture_dim=512)
+        rn = Renderer(fsn, cfg)
+        camn = bench_camera(fsn)
+        out = rn.render(camn)
         float(out["ldr"].mean())
         t0 = time.perf_counter()
-        for _ in range(3):
-            out = r4.render(cam4)
+        for _ in range(iters):
+            out = rn.render(camn)
             float(out["ldr"].mean())
-        ch_s = (time.perf_counter() - t0) / 3
-        chunked = {
-            "triangles": int(fs4.num_triangles),
-            "fwd_frame_ms": round(ch_s * 1e3, 1),
-            "fwd_mrays_s": round(rays_per_frame / ch_s / 1e6, 2),
+        s = (time.perf_counter() - t0) / iters
+        mode = "resident"
+        if rn.bvh is not None:
+            if "chunks" in rn.bvh or "tri_chunks" in rn.bvh:
+                mode = "chunked"
+            elif 4 * (rn.bvh["fat4nodes"].size + rn.bvh["tris"].size) > 15 * 1024 * 1024:
+                mode = "paged"
+        return {
+            "triangles": int(fsn.num_triangles),
+            "mode": mode,
+            "fwd_frame_ms": round(s * 1e3, 1),
+            "fwd_mrays_s": round(rays_per_frame / s / 1e6, 2),
         }
-        del r4
+
+    resident_247k = chunked = None
+    try:
+        resident_247k = _scene_probe(4)
+    except Exception:
+        pass
+    try:
+        chunked = _scene_probe(5)
     except Exception:
         pass
 
@@ -183,6 +198,7 @@ def main() -> None:
             "fwd_frame_ms": round(fwd_s * 1e3, 1),
             "fwd_orbit_frame_ms": round(fwd_orbit_s * 1e3, 1),
             "nrc_fwd_frame_ms": round(nrc_fwd_s * 1e3, 1) if nrc_fwd_s else None,
+            "resident_247k": resident_247k,
             "chunked": chunked,
             "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
             "rays_per_frame": rays_per_frame,

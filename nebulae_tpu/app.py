@@ -185,6 +185,16 @@ def main(argv=None) -> int:
     if args.sky_color:
         sun = sun.replace(sky_color=_vec3(args.sky_color))
     renderer = Renderer(fs, cfg, sun=sun)
+    if args.nrc:
+        # Startup memory accounting, like the reference's NRC footprint query
+        # (NvRtxgiNRC.cpp:160-164 logged via its memory-events callback).
+        from nebulae_tpu.nrc.cache import memory_footprint
+
+        fp = memory_footprint(renderer.state["nrc"])
+        log_info(
+            "nrc cache footprint: "
+            + ", ".join(f"{k} {v / 1024:.1f} KiB" for k, v in fp.items())
+        )
     if args.envmap:
         import jax.numpy as jnp
 

@@ -126,9 +126,12 @@ class RenderConfig:
     # every ray class -- primary closest 69 vs 77 ms, sorted bounce 156 vs
     # 182, sorted shadow any 42 vs 47, fused shadow+bounce 178 vs 206.
     bvh_wide: int = 4
-    # Beyond SINGLE_TABLE_MAX_TRIS (Sponza-class) the traversal tables no
-    # longer fit VMEM; strategies (all exact, pixels bit-identical on the
-    # 247k- and 990k-tri probe scenes):
+    # The single-table gate is byte-accurate (round 3): past a 160k-tri
+    # quick filter the packed fat4 tables are measured against the ~15 MB
+    # VMEM budget (53 B/tri at tri_group=8, so ~280k tris fit resident --
+    # real Sponza's 262k included).  Beyond it the tables no longer fit
+    # VMEM; strategies (all exact, pixels bit-identical on the 247k- and
+    # 990k-tri probe scenes):
     #   "subtree": independent VMEM-sized subtree chunks chained with
     #       tightening t caps (pack_bvh_chunks) -- one re-walk per chunk.
     #   "paged": ONE full fat4 table; triangles stay in HBM behind a

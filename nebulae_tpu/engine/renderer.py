@@ -249,6 +249,7 @@ class Renderer:
         if bvh is None and needs_bvh:
             from nebulae_tpu.bvh import build_bvh_fast
             from nebulae_tpu.kernels.pallas_trace import (
+                SINGLE_TABLE_MAX_BYTES,
                 SINGLE_TABLE_MAX_TRIS,
                 pack_bvh_chunks,
                 pack_bvh_fat,
@@ -269,13 +270,31 @@ class Renderer:
 
                 est_chunks = -(-t_count // MAX_CHUNK_TRIS)
                 chunk_mode = "subtree" if est_chunks <= 3 else "paged"
-            if t_count > SINGLE_TABLE_MAX_TRIS and chunk_mode == "paged" and cfg.bvh_wide == 4:
+            # The single-table gate is BYTE-accurate: past the quick
+            # tri-count filter, pack the fat4 tables and keep them resident
+            # whenever they actually fit the measured VMEM budget (a 247k-tri
+            # scene packs to 14.8 MB and runs resident on v5e; chunking it
+            # costs an extra whole-tree walk per traversal).
+            single_packed = cand = None
+            if t_count > SINGLE_TABLE_MAX_TRIS and cfg.bvh_wide == 4:
+                cand = pack_bvh_fat4(
+                    flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                )
+                if (
+                    cand is not None
+                    and cand["tris"].nbytes + cand["fat4nodes"].nbytes
+                    <= SINGLE_TABLE_MAX_BYTES
+                ):
+                    single_packed = cand
+            if single_packed is not None:
+                bvh.update(single_packed)
+            elif t_count > SINGLE_TABLE_MAX_TRIS and chunk_mode == "paged" and cfg.bvh_wide == 4:
                 # Sponza-class, demand-paged: ONE full fat4 table; the
                 # kernels keep the tri table in HBM behind a paged VMEM
                 # cache (make_tracer flips `paged` on by table size).
                 from nebulae_tpu.kernels.pallas_trace import pad_tris_for_paging
 
-                packed_full = pack_bvh_fat4(
+                packed_full = cand if cand is not None else pack_bvh_fat4(
                     flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
                 )
                 packed_full["tris"] = pad_tris_for_paging(packed_full["tris"])

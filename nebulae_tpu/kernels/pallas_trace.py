@@ -190,7 +190,15 @@ def pack_bvh_for_pallas(bvh, tri_pos: np.ndarray, tri_group: int = 1) -> dict:
 # budget -- fewer chunks beats smaller chunks because every chunk pass pays
 # a kernel dispatch + its table DMA (a 247k-tri scene is 2 chunks, not 4).
 MAX_CHUNK_TRIS = 150 * 1024
-SINGLE_TABLE_MAX_TRIS = 160 * 1024  # beyond this, chunk (whole table > ~12 MB)
+SINGLE_TABLE_MAX_TRIS = 160 * 1024  # below this, always a single resident table
+# The true single-table ceiling is VMEM bytes, not triangle count: at
+# tri_group=8 the packed tables cost ~53 B/tri (40 B tris + 13 B fat4
+# nodes), so a 247k-tri scene packs to 14.8 MB -- measured running the full
+# frame (gbuffer + combo + any kernels) on v5e's ~16 MB VMEM.  Scenes whose
+# PACKED tables fit this budget skip chunking outright (engine.renderer
+# packs first and checks actual bytes); 15 MB keeps ~1 MB for ray/output
+# blocks, the traversal stack, and compiler slack.
+SINGLE_TABLE_MAX_BYTES = 15 * 1024 * 1024
 
 
 def pack_bvh_chunks(

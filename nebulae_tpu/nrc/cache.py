@@ -99,6 +99,18 @@ def train_cache_step(cache_state, optimizer, records: dict, aabb_min, aabb_max):
     return {"params": params, "ema_params": ema, "opt_state": opt_state}, loss
 
 
+def memory_footprint(cache_state: dict) -> dict:
+    """Byte accounting of the cache, mirroring the reference's
+    `GetMemoryFootprint` query (nri/nvidia/NvRtxgiNRC.cpp:160-164, logged at
+    startup).  Returns {params, ema_params, opt_state, total} in bytes."""
+    def nbytes(tree):
+        return int(sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)))
+
+    out = {k: nbytes(v) for k, v in cache_state.items()}
+    out["total"] = sum(out.values())
+    return out
+
+
 def spread_term(hit_dist, cos_gamma, pdf):
     """Per-vertex spread increment: hitDist / sqrt(cos * pdf)
     (Nrc.hlsli:357-370's cumulative-spread term)."""

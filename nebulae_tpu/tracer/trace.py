@@ -290,11 +290,11 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
             # Tables past the VMEM budget stream triangles from HBM with a
             # one-block demand-paged cache (chunk_mode="paged"); sizes are
             # static so this resolves at trace time.
-            from nebulae_tpu.kernels.pallas_trace import TRI_CHUNK_TABLE_BUDGET
+            from nebulae_tpu.kernels.pallas_trace import SINGLE_TABLE_MAX_BYTES
 
             paged = (
                 4 * (packed["fat4nodes"].size + packed["tris"].size)
-                > TRI_CHUNK_TABLE_BUDGET
+                > SINGLE_TABLE_MAX_BYTES
             )
             closest = partial(
                 pallas_closest_hit_fat4, packed=packed, interpret=interpret, paged=paged

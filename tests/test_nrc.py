@@ -172,3 +172,17 @@ def test_nrc_training_termination_stable():
     out = r.render(cam)
     assert np.isfinite(np.asarray(out["hdr"])).all()
     assert float(out["nrc_query_frac"]) > 0.05
+
+
+def test_memory_footprint_accounting():
+    """memory_footprint (GetMemoryFootprint analogue) sums the real pytree
+    bytes of params/ema/opt state."""
+    from nebulae_tpu.nrc.cache import init_cache, memory_footprint
+
+    state = init_cache(seed=0)
+    fp = memory_footprint(state)
+    assert set(fp) == {"params", "ema_params", "opt_state", "total"}
+    assert fp["params"] == fp["ema_params"] > 0
+    # adam holds two moments (+ counts): at least 2x the param bytes
+    assert fp["opt_state"] >= 2 * fp["params"]
+    assert fp["total"] == fp["params"] + fp["ema_params"] + fp["opt_state"]
