@@ -112,15 +112,18 @@ def main() -> None:
         pass
 
     # --- Sponza scale and beyond ---
-    # (a) ~247k tris (4x4 field): since round 3 the packed fat4 tables
-    #     (14.8 MB) fit VMEM outright (byte-accurate single-table gate), so
-    #     this measures the RESIDENT path at real-Sponza triangle count.
-    # (b) ~385k tris (5x5 field): past the VMEM budget -- measures the
-    #     chunked/paged traversal machinery on hardware.
+    # (a) ~247k tris (4x4 field): since round 3 the packed fat4 tables run
+    #     VMEM-resident (byte-accurate gate + raised Mosaic vmem limit; v5e
+    #     has 128 MB physical VMEM) -- the RESIDENT path at real-Sponza
+    #     triangle count.
+    # (b) ~385k tris (5x5 field) with chunk_mode="subtree" forced: measures
+    #     the chunked traversal machinery on hardware (auto would also run
+    #     this resident now; subtree re-walks measured within ~8% either
+    #     side of resident across 247k-990k).
     # Each isolated so a failure never kills the primary metric.
-    def _scene_probe(grid, iters=3):
+    def _scene_probe(grid, iters=3, cfg_probe=None):
         fsn = helmet_field(grid, grid, max_texture_dim=512)
-        rn = Renderer(fsn, cfg)
+        rn = Renderer(fsn, cfg_probe or cfg)
         camn = bench_camera(fsn)
         out = rn.render(camn)
         float(out["ldr"].mean())
@@ -133,8 +136,11 @@ def main() -> None:
         if rn.bvh is not None:
             if "chunks" in rn.bvh or "tri_chunks" in rn.bvh:
                 mode = "chunked"
-            elif 4 * (rn.bvh["fat4nodes"].size + rn.bvh["tris"].size) > 15 * 1024 * 1024:
-                mode = "paged"
+            elif "fat4nodes" in rn.bvh:
+                from nebulae_tpu.kernels.pallas_trace import SINGLE_TABLE_MAX_BYTES
+
+                if 4 * (rn.bvh["fat4nodes"].size + rn.bvh["tris"].size) > SINGLE_TABLE_MAX_BYTES:
+                    mode = "paged"
         return {
             "triangles": int(fsn.num_triangles),
             "mode": mode,
@@ -142,13 +148,15 @@ def main() -> None:
             "fwd_mrays_s": round(rays_per_frame / s / 1e6, 2),
         }
 
+    from dataclasses import replace as _replace2
+
     resident_247k = chunked = None
     try:
         resident_247k = _scene_probe(4)
     except Exception:
         pass
     try:
-        chunked = _scene_probe(5)
+        chunked = _scene_probe(5, cfg_probe=_replace2(cfg, chunk_mode="subtree"))
     except Exception:
         pass
 

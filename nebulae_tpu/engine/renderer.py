@@ -48,6 +48,18 @@ def init_frame_state(cfg: RenderConfig) -> dict:
     return state
 
 
+def nrc_train_frame(scene, sun, closest_fn, any_fn, cache_state, cam, frame, cfg):
+    """The QueryAndTrain training half (DeferredRenderer.cpp:523-560): the
+    reduced-resolution training path trace + k adam steps on the cache."""
+    from nebulae_tpu.nrc.cache import make_optimizer
+    from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_train
+
+    optimizer = make_optimizer(cfg.nrc_learning_rate)
+    return path_trace_nrc_train(
+        scene, sun, closest_fn, any_fn, cfg, cache_state, optimizer, cam, frame
+    )
+
+
 def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state: dict, cfg: RenderConfig):
     """Pure jittable frame function.
 
@@ -103,14 +115,9 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     if cfg.enable_gi and cfg.enable_nrc:
         # Online cache training (the QueryAndTrain analogue) fused into the
         # same jitted frame at reduced resolution.
-        from nebulae_tpu.nrc.cache import make_optimizer
-        from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_train
-
-        optimizer = make_optimizer(cfg.nrc_learning_rate)
-        new_cache, nrc_loss = path_trace_nrc_train(
-            scene, sun, closest_fn, any_fn, cfg, state["nrc"], optimizer, cam, state["frame"]
+        new_state["nrc"], nrc_loss = nrc_train_frame(
+            scene, sun, closest_fn, any_fn, state["nrc"], cam, state["frame"], cfg
         )
-        new_state["nrc"] = new_cache
     else:
         nrc_loss = jnp.float32(0.0)
     if not cfg.jitter_primary:
@@ -276,7 +283,11 @@ class Renderer:
             # scene packs to 14.8 MB and runs resident on v5e; chunking it
             # costs an extra whole-tree walk per traversal).
             single_packed = cand = None
-            if t_count > SINGLE_TABLE_MAX_TRIS and cfg.bvh_wide == 4:
+            if (
+                t_count > SINGLE_TABLE_MAX_TRIS
+                and cfg.bvh_wide == 4
+                and cfg.chunk_mode == "auto"  # explicit modes force chunking
+            ):
                 cand = pack_bvh_fat4(
                     flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
                 )
@@ -343,7 +354,10 @@ class Renderer:
             sun = SunLight.default(np)
         self.sun = jax.tree.map(jnp.asarray, sun)
         self.state = init_frame_state(cfg)
-        self._jit_frame = jax.jit(partial(render_frame, cfg=cfg))
+        self._build_jits()
+
+    def _build_jits(self):
+        self._jit_frame = jax.jit(partial(render_frame, cfg=self.cfg))
 
     def reset_history(self):
         self.state["reset_history"] = jnp.bool_(True)
@@ -368,19 +382,36 @@ class Renderer:
         )
         self.update_geometry(pos, tri_nrm=nrm)
 
+    def resize(self, width: int, height: int):
+        """The WM_SIZE protocol (Renderer::Resize, Renderer.cpp:215-229 +
+        DeferredRenderer.cpp:59-81): reallocate every per-resolution target
+        -- here the SVGF history ping-pong and frame counter in the carried
+        state -- while the scene, BVH tables, sun, and the NRC cache (which
+        the reference also keeps across resize; it reconfigures lazily next
+        BeginFrame) survive.  The jitted program swaps like a shader reload."""
+        from dataclasses import replace
+
+        cfg = replace(self.cfg, width=width, height=height)
+        nrc = self.state.get("nrc")
+        self.cfg = cfg
+        self.state = init_frame_state(cfg)
+        if nrc is not None:
+            self.state["nrc"] = nrc
+        self._build_jits()
+
     def update_config(self, cfg: RenderConfig):
         """Runtime reconfiguration -- the headless analogue of the
         reference's ImGui panels (DeferredRenderer.cpp:161-252).  Traced
         inputs (sun/sky) already change per-frame for free; static knobs
         (spp, bounces, SVGF constants, NRC schedule...) swap the jitted
         program, exactly like the reference's shader hot reload recompiles
-        the RTPSO.  Resolution is fixed (frame-state shapes); rebuild the
-        Renderer to resize (the reference also reallocates on WM_SIZE)."""
+        the RTPSO.  Resolution changes go through `resize` (the WM_SIZE
+        path), which also reallocates the per-resolution frame state."""
         if (cfg.width, cfg.height) != (self.cfg.width, self.cfg.height):
-            raise ValueError("update_config cannot change resolution; rebuild the Renderer")
+            raise ValueError("update_config cannot change resolution; use resize()")
         enable_nrc_turned_on = cfg.enable_nrc and not self.cfg.enable_nrc
         self.cfg = cfg
-        self._jit_frame = jax.jit(partial(render_frame, cfg=cfg))
+        self._build_jits()
         if enable_nrc_turned_on and "nrc" not in self.state:
             from nebulae_tpu.nrc.cache import init_cache
 

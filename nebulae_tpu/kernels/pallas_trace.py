@@ -193,12 +193,15 @@ MAX_CHUNK_TRIS = 150 * 1024
 SINGLE_TABLE_MAX_TRIS = 160 * 1024  # below this, always a single resident table
 # The true single-table ceiling is VMEM bytes, not triangle count: at
 # tri_group=8 the packed tables cost ~53 B/tri (40 B tris + 13 B fat4
-# nodes), so a 247k-tri scene packs to 14.8 MB -- measured running the full
-# frame (gbuffer + combo + any kernels) on v5e's ~16 MB VMEM.  Scenes whose
-# PACKED tables fit this budget skip chunking outright (engine.renderer
-# packs first and checks actual bytes); 15 MB keeps ~1 MB for ray/output
-# blocks, the traversal stack, and compiler slack.
-SINGLE_TABLE_MAX_BYTES = 15 * 1024 * 1024
+# nodes).  v5e has 128 MB of physical VMEM; Mosaic only enforces the ~16 MB
+# default *scoped* limit, which _packed_call raises per kernel
+# (vmem_limit_bytes) when the tables need it.  The budget below keeps
+# headroom for ray/output blocks, XLA's own VMEM-pinned gather tables in
+# the surrounding program, and compiler slack; scenes whose PACKED tables
+# fit it skip chunking outright (engine.renderer packs first and checks
+# actual bytes -- ~1.5M tris).
+SINGLE_TABLE_MAX_BYTES = 80 * 1024 * 1024
+VMEM_HARD_CAP = 100 * 1024 * 1024
 
 
 def pack_bvh_chunks(
@@ -1786,6 +1789,20 @@ def _packed_call(body, comps, tables, n_out, n_tiles, interpret, paged=False):
             pltpu.SMEM((PAGE_WAYS,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ]
+    # Mosaic's default VMEM budget is only the ~16 MB *scoped* limit; the
+    # physical VMEM on v5e is 128 MB (verified: 100 MB resident buffers
+    # compile and run).  Tables past the default budget raise the limit
+    # explicitly so Sponza-and-beyond scenes stay resident instead of
+    # chunking (kernel working set = tables + a few ray/out blocks + stack).
+    resident_bytes = sum(
+        0 if (paged and i == len(tables) - 1) else t.size * t.dtype.itemsize
+        for i, t in enumerate(tables)
+    )
+    params = {}
+    if resident_bytes > 12 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(resident_bytes + 8 * 1024 * 1024, VMEM_HARD_CAP)
+        )
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -1794,6 +1811,7 @@ def _packed_call(body, comps, tables, n_out, n_tiles, interpret, paged=False):
         out_shape=jax.ShapeDtypeStruct((n_tiles * n_out * SUB, LANES), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **params,
     )(blk, *tables)
     return out.reshape(n_tiles, n_out, SUB * LANES)
 

@@ -43,15 +43,8 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
     spread0 = primary_spread(gbuf["depth"], cos0)
     spread0 = jnp.where(jnp.isfinite(spread0), spread0, 0.0)
 
-    q0 = {
-        "set": jnp.zeros(n_pix, bool),
-        "surf": {k: jnp.zeros_like(v) for k, v in surf0.items()},
-        "view": jnp.zeros_like(gbuf["view"]),
-        "thr": jnp.zeros((n_pix, 3), jnp.float32),
-    }
-
     def body(carry, bounce_i):
-        rng_state, throughput, alive, acc, surf, view, spread, q, dbg = carry
+        rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg = carry
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
@@ -81,17 +74,17 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         # the direction-sampling pdf (NrcSetBrdfPdf, pathtracer.hlsl:620).
         pdf = cos_new / PI * pre["p_d"]
         spread = spread + spread_term(hit_t, cos_new, pdf)
-        terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q["set"]
-        q_surf = {
-            k: jnp.where(terminate[..., None] if v.ndim == 2 else terminate, surf[k], v)
-            for k, v in q["surf"].items()
-        }
-        q = {
-            "set": q["set"] | terminate,
-            "surf": q_surf,
-            "view": jnp.where(terminate[..., None], view, q["view"]),
-            "thr": jnp.where(terminate[..., None], throughput, q["thr"]),
-        }
+        terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q_set
+        # Inline resolve (radiance_resolve.hlsl:24-32): query the cache AT
+        # the handoff vertex and add query radiance x prefix throughput now
+        # -- the cache params are loop-invariant, so this is exact up to
+        # float add order and removes ~17 full-width channels of carried
+        # query-record state from the scan (round 3; perf-neutral on chip,
+        # kept for the simpler carry -- see docs/PERFORMANCE.md round 3 on
+        # the NRC gather-pin sensitivity this did NOT fix).
+        pred = query_cache(cache_params, surf, view, scene["aabb_min"], scene["aabb_max"])
+        acc = acc + jnp.where(terminate[..., None], throughput * pred, 0.0)
+        q_set = q_set | terminate
         # Debug counters (the reference's NRC debug resolve modes,
         # NrcStructures.h:186-245): per-path vertex count and the bounce
         # index where the path handed off to the cache (-1 = never).
@@ -104,7 +97,7 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
             ),
         }
         alive = alive & ~terminate
-        return (rng_state, throughput, alive, acc, surf, view, spread, q, dbg), None
+        return (rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg), None
 
     dbg0 = {
         "n_vert": gbuf["hit"].astype(jnp.float32),  # primary vertex counts
@@ -118,26 +111,23 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         surf0,
         gbuf["view"],
         jnp.zeros(n_pix, jnp.float32),
-        q0,
+        jnp.zeros(n_pix, bool),
         dbg0,
     )
     if cfg.max_bounces > 1:
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(cfg.max_bounces - 1, dtype=jnp.int32)
         )
-    rng_state, throughput, alive, acc, surf, view, spread, q, dbg = carry
+    rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg = carry
     direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
     acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
-    # Resolve: query radiance x prefix throughput (radiance_resolve.hlsl:24-32).
-    pred = query_cache(cache_params, q["surf"], q["view"], scene["aabb_min"], scene["aabb_max"])
-    acc = acc + jnp.where(q["set"][..., None], q["thr"] * pred, 0.0)
     aux = {
-        "query_frac": q["set"].mean(),
+        "query_frac": q_set.mean(),
         "alive_frac": alive.mean(),
         "n_vert": dbg["n_vert"],
         "term_bounce": dbg["term_bounce"],
-        "query_set": q["set"],
+        "query_set": q_set,
     }
     return acc, rng_state, aux
 

@@ -157,6 +157,36 @@ def test_runtime_controls(tmp_path, cornell_scene, cornell_camera):
 
         r.update_config(dataclasses.replace(r.cfg, width=64))
 
+    # Resolution goes through the WM_SIZE analogue: per-resolution state
+    # reallocates, scene/BVH and render continuity survive.
+    r.resize(64, 48)
+    img3 = r.render(cornell_camera)["hdr"]
+    assert img3.shape == (48, 64, 3)
+    assert np.isfinite(np.asarray(img3)).all()
+
+
+def test_resize_keeps_nrc_cache(cornell_scene, cornell_camera):
+    """resize() reallocates frame state but the trained cache params carry
+    over (the reference keeps the NRC context across WM_SIZE too)."""
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer
+
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=False,
+        enable_tonemap=False, enable_nrc=True,
+    )
+    import jax
+
+    r = Renderer(cornell_scene.flat, cfg)
+    r.render(cornell_camera)  # one frame of online training
+    params_before = jax.tree.leaves(r.state["nrc"]["params"])
+    r.resize(48, 32)
+    params_after = jax.tree.leaves(r.state["nrc"]["params"])
+    for a, b in zip(params_before, params_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = r.render(cornell_camera)
+    assert out["hdr"].shape == (32, 48, 3)
+
 
 def test_app_accumulate(tmp_path):
     """--accumulate averages the frames' HDR into one converged still."""
