@@ -82,6 +82,19 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     acc = jnp.zeros((n_pix, 3), jnp.float32)
     from nebulae_tpu.core import brdf as _brdf
 
+    if cfg.enable_gi and cfg.enable_nrc:
+        # Online cache training (the QueryAndTrain analogue) fused into the
+        # same jitted frame at reduced resolution -- and BEFORE the query
+        # pass, matching the reference's order: QueryAndTrain runs the
+        # training iterations first, then Resolve reads the post-train
+        # cache (DeferredRenderer.cpp:560-587).  The query pass below
+        # therefore sees this frame's updated EMA parameters.
+        new_state["nrc"], nrc_loss = nrc_train_frame(
+            scene, sun, closest_fn, any_fn, state["nrc"], cam, state["frame"], cfg
+        )
+    else:
+        nrc_loss = jnp.float32(0.0)
+
     for _ in range(cfg.spp):
         sample_gbuf = gbuf
         if cfg.jitter_primary:
@@ -97,9 +110,16 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         if cfg.enable_gi and cfg.enable_nrc:
             from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_query
 
+            # stop_gradient: the outer (inverse-rendering) loss must not
+            # differentiate THROUGH the in-frame adam update -- that path
+            # (materials -> training records -> adam moments -> queried
+            # radiance) is ill-conditioned and NaNs the material gradients;
+            # cache-parameter gradients are computed by the training pass's
+            # own inner value_and_grad.  Forward values still follow the
+            # reference's train-then-resolve order.
             sample, rng_state, nrc_aux = path_trace_nrc_query(
                 scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg,
-                state["nrc"]["ema_params"],
+                jax.lax.stop_gradient(new_state["nrc"]["ema_params"]),
             )
         elif cfg.enable_gi:
             sample, rng_state = path_trace(scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg)
@@ -112,14 +132,6 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         acc = acc + sample
     radiance = acc / cfg.spp
 
-    if cfg.enable_gi and cfg.enable_nrc:
-        # Online cache training (the QueryAndTrain analogue) fused into the
-        # same jitted frame at reduced resolution.
-        new_state["nrc"], nrc_loss = nrc_train_frame(
-            scene, sun, closest_fn, any_fn, state["nrc"], cam, state["frame"], cfg
-        )
-    else:
-        nrc_loss = jnp.float32(0.0)
     if not cfg.jitter_primary:
         # Primary misses show the sky (with jitter the per-sample fold above
         # already composited each sample's own sky).
