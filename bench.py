@@ -160,6 +160,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # --- full-shading parity probe ---
+    # The headline config uses fast_bounce_shading (disclosed approximation:
+    # face normals + texture-averaged materials on secondary bounces); the
+    # reference fetches full textures at every bounce (pathtracer.hlsl:
+    # 299-395).  Track the parity configuration round over round too.
+    full_shading = None
+    try:
+        cfg_full = _replace2(cfg, fast_bounce_shading=False)
+        rfull = Renderer(fs, cfg_full, bvh=renderer.bvh)
+        out = rfull.render(cam_obj)
+        float(out["ldr"].mean())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = rfull.render(cam_obj)
+            float(out["ldr"].mean())
+        s = (time.perf_counter() - t0) / 3
+        full_shading = {
+            "fwd_frame_ms": round(s * 1e3, 1),
+            "fwd_mrays_s": round(rays_per_frame / s / 1e6, 2),
+        }
+    except Exception:
+        pass
+
     # --- forward + backward (full train step) ---
     params, frozen = split_scene_params(renderer.scene)
     params["sun"] = renderer.sun
@@ -206,6 +229,7 @@ def main() -> None:
             "fwd_frame_ms": round(fwd_s * 1e3, 1),
             "fwd_orbit_frame_ms": round(fwd_orbit_s * 1e3, 1),
             "nrc_fwd_frame_ms": round(nrc_fwd_s * 1e3, 1) if nrc_fwd_s else None,
+            "full_shading": full_shading,
             "resident_247k": resident_247k,
             "chunked": chunked,
             "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),

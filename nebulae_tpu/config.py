@@ -82,6 +82,14 @@ class RenderConfig:
     # cache against self-training feedback collapse.
     nrc_train_terminate_threshold: float = 0.01
     nrc_unbiased_fraction: float = 0.0625
+    # learnIrradiance protocol (the reference's live configuration,
+    # DeferredRenderer.cpp:105-106 + NrcCommon.h:126-131): the cache learns
+    # albedo/specular-demodulated radiance -- training targets are divided by
+    # the record vertex's (F0 + diffuse reflectance) and queries re-modulate
+    # by the query vertex's factor (Nrc.hlsli:452).  Texture/material color
+    # factors out of the MLP instead of being memorized.  False = learn raw
+    # outgoing radiance (A/B knob).
+    nrc_learn_irradiance: bool = True
     # NRC debug resolve modes, mirroring the reference's visual-inspection
     # views (NrcStructures.h:186-245): None | "bounce_heatmap" (path vertex
     # count) | "query_bounce" (bounce index of cache handoff, -1 = never) |
@@ -127,11 +135,13 @@ class RenderConfig:
     # 182, sorted shadow any 42 vs 47, fused shadow+bounce 178 vs 206.
     bvh_wide: int = 4
     # The single-table gate is byte-accurate (round 3): past a 160k-tri
-    # quick filter the packed fat4 tables are measured against the ~15 MB
-    # VMEM budget (53 B/tri at tri_group=8, so ~280k tris fit resident --
-    # real Sponza's 262k included).  Beyond it the tables no longer fit
-    # VMEM; strategies (all exact, pixels bit-identical on the 247k- and
-    # 990k-tri probe scenes):
+    # quick filter the packed fat4 tables are measured against the
+    # SINGLE_TABLE_MAX_BYTES budget (80 MB; v5e has 128 MB physical VMEM and
+    # _packed_call raises Mosaic's scoped limit when tables need it).  At
+    # ~53 B/tri (tri_group=8) that is ~1.5M tris resident -- real Sponza's
+    # 262k included.  Beyond it the tables no longer fit VMEM; strategies
+    # (all exact, pixels bit-identical on the 247k- and 990k-tri probe
+    # scenes):
     #   "subtree": independent VMEM-sized subtree chunks chained with
     #       tightening t caps (pack_bvh_chunks) -- one re-walk per chunk.
     #   "paged": ONE full fat4 table; triangles stay in HBM behind a

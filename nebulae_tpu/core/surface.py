@@ -70,10 +70,18 @@ def _take_rows(table, idx, xp):
 
 
 def _bary_packed(rows, u, v, c, xp):
-    """Barycentric lerp of a packed corner slice [..., 3*c] -> [..., c]."""
-    a = rows.reshape(rows.shape[:-1] + (3, c))
+    """Barycentric lerp of a packed corner slice [..., 3*c] -> [..., c].
+
+    Slices, not a reshape to [..., 3, c]: the reshape forces a {0,1}
+    (channel-planar) layout on the gathered rows, which makes XLA lower the
+    wide-row gather ~3x slower AND insert a [N, 3c] transpose copy behind it
+    (round-4 xprof finding: the NRC frame's 36 ms-per-bounce tri_fast fetch
+    vs 11.4 ms for the same gather consumed layout-neutrally)."""
     w = (1.0 - u - v)[..., None]
-    return a[..., 0, :] * w + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None]
+    a0 = rows[..., 0 * c : 1 * c]
+    a1 = rows[..., 1 * c : 2 * c]
+    a2 = rows[..., 2 * c : 3 * c]
+    return a0 * w + a1 * u[..., None] + a2 * v[..., None]
 
 
 def _f32_int(col, xp):

@@ -235,6 +235,7 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
             pred = query_cache(
                 state["nrc"]["ema_params"], surf0, gbuf["view"],
                 scene["aabb_min"], scene["aabb_max"],
+                learn_irradiance=cfg.nrc_learn_irradiance,
             )
             outputs["nrc_debug"] = jnp.where(
                 gbuf["hit"][..., None], pred, 0.0
@@ -311,15 +312,23 @@ class Renderer:
                     single_packed = cand
             if single_packed is not None:
                 bvh.update(single_packed)
-            elif t_count > SINGLE_TABLE_MAX_TRIS and chunk_mode == "paged" and cfg.bvh_wide == 4:
-                # Sponza-class, demand-paged: ONE full fat4 table; the
-                # kernels keep the tri table in HBM behind a paged VMEM
-                # cache (make_tracer flips `paged` on by table size).
+            elif chunk_mode == "paged" and cfg.bvh_wide == 4 and (
+                packed_full := (
+                    cand
+                    if cand is not None
+                    else pack_bvh_fat4(
+                        flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
+                    )
+                )
+            ) is not None:
+                # Demand-paged: ONE full fat4 table; the kernels keep the tri
+                # table in HBM behind a paged VMEM cache.  Explicit
+                # chunk_mode="paged" takes this path at ANY size (the knob
+                # bounds VMEM use / exercises the paged kernels); auto only
+                # routes here past the byte budget.  make_tracer honors the
+                # same rule (cfg.chunk_mode or table bytes).
                 from nebulae_tpu.kernels.pallas_trace import pad_tris_for_paging
 
-                packed_full = cand if cand is not None else pack_bvh_fat4(
-                    flat_bvh, flat_scene.tri_pos, tri_group=cfg.bvh_tri_group
-                )
                 packed_full["tris"] = pad_tris_for_paging(packed_full["tris"])
                 bvh.update(packed_full)
             elif t_count > SINGLE_TABLE_MAX_TRIS:

@@ -56,8 +56,30 @@ def init_cache(seed: int, nrc_cfg: NRCConfig = NRCConfig()):
     return {"params": params, "ema_params": ema_params, "opt_state": opt_state}
 
 
-def query_cache(params, surf: dict, view, aabb_min, aabb_max):
-    """Predict radiance leaving surface toward `view`. All [..., C] arrays."""
+def modulation_factor(albedo, metalness):
+    """The learnIrradiance (de)modulation term: specularF0 + diffuseReflectance
+    at a vertex (Nrc.hlsli:452 -- the reference's query prefixThroughput is
+    multiplied by this when learnIrradiance is on, i.e. the cache learns
+    radiance DIVIDED by it, so textures/material color factor out of the MLP
+    instead of being memorized).  Floored so black-metal vertices cannot
+    blow up the demodulated targets."""
+    from nebulae_tpu.core import brdf
+
+    f = brdf.base_f0(albedo, metalness, jnp) + brdf.diffuse_reflectance(
+        albedo, metalness, jnp
+    )
+    return jnp.maximum(f, 1e-2)
+
+
+def query_cache(params, surf: dict, view, aabb_min, aabb_max, learn_irradiance: bool = True):
+    """Predict radiance leaving surface toward `view`. All [..., C] arrays.
+
+    With `learn_irradiance` (the reference's live configuration,
+    DeferredRenderer.cpp:105) the MLP's raw output is demodulated irradiance;
+    the prediction is re-modulated by the vertex's (F0 + diffuse reflectance)
+    here, mirroring the SDK resolve (NvRtxgiNRC.cpp:150-153 adds
+    queryRadiance x prefixThroughput with the factor folded into
+    prefixThroughput, Nrc.hlsli:452)."""
     from nebulae_tpu.core import brdf
 
     specular = brdf.base_f0(surf["albedo"], surf["metalness"], jnp)
@@ -65,15 +87,23 @@ def query_cache(params, surf: dict, view, aabb_min, aabb_max):
         surf["position"], surf["normal_s"], view, surf["roughness"], surf["albedo"],
         specular, aabb_min, aabb_max,
     )
-    return apply_mlp(params, x)
+    pred = apply_mlp(params, x)
+    if learn_irradiance:
+        pred = pred * modulation_factor(surf["albedo"], surf["metalness"])
+    return pred
 
 
-def train_cache_step(cache_state, optimizer, records: dict, aabb_min, aabb_max):
+def train_cache_step(cache_state, optimizer, records: dict, aabb_min, aabb_max,
+                     learn_irradiance: bool = True):
     """One adam step on the cache MLP from training records.
 
     records: dict of [B, ...] arrays -- position, normal, view, roughness,
     albedo, metalness, target (radiance), weight (0 masks invalid records).
-    Returns (new_cache_state, loss).
+    With `learn_irradiance` the target is demodulated by the record vertex's
+    (F0 + diffuse reflectance) before the loss -- the training-side half of
+    the reference's learnIrradiance protocol (NrcCommon.h:126-131 "requires
+    albedo demodulation"; the closed SDK does this from the per-vertex
+    albedo/specular record fields).  Returns (new_cache_state, loss).
     """
     from nebulae_tpu.core import brdf
 
@@ -83,6 +113,10 @@ def train_cache_step(cache_state, optimizer, records: dict, aabb_min, aabb_max):
         records["albedo"], specular, aabb_min, aabb_max,
     )
     target = jax.lax.stop_gradient(records["target"])
+    if learn_irradiance:
+        target = target / jax.lax.stop_gradient(
+            modulation_factor(records["albedo"], records["metalness"])
+        )
     w = records["weight"]
 
     def loss_fn(params):

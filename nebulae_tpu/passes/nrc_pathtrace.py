@@ -228,6 +228,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
             pred = query_cache(
                 jax.lax.stop_gradient(cache_state["ema_params"]), new_surf, -new_d,
                 scene["aabb_min"], scene["aabb_max"],
+                learn_irradiance=cfg.nrc_learn_irradiance,
             )
             local = local + jnp.where(term[..., None], weight * pred, 0.0)
         alive = alive & found & ~term
@@ -250,6 +251,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         tail_pred = query_cache(
             jax.lax.stop_gradient(cache_state["ema_params"]), surf, view,
             scene["aabb_min"], scene["aabb_max"],
+            learn_irradiance=cfg.nrc_learn_irradiance,
         )
         target_last = local_last + jnp.where(alive[..., None], tail_pred, 0.0)
     else:
@@ -306,7 +308,10 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     }
 
     def train_body(cs, batch):
-        cs, loss = train_cache_step(cs, optimizer, batch, scene["aabb_min"], scene["aabb_max"])
+        cs, loss = train_cache_step(
+            cs, optimizer, batch, scene["aabb_min"], scene["aabb_max"],
+            learn_irradiance=cfg.nrc_learn_irradiance,
+        )
         return cs, loss
 
     cache_state, losses = jax.lax.scan(train_body, cache_state, batched)

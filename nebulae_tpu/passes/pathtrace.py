@@ -101,6 +101,7 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
         occ, hit = sorted_shadow_closest(
             any_fn, closest_fn, origin, l, b, key,
             combo_fn=getattr(closest_fn, "combo", None),
+            num_tris=scene["tri_pos"].shape[0],
         )
         hit = detach(hit)
     else:

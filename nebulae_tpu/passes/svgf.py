@@ -251,7 +251,17 @@ def _bilinear_history_quad(stack, x, y):
         [stack, _shift2d(stack, 0, -1), _shift2d(stack, -1, 0), _shift2d(stack, -1, -1)],
         axis=-1,
     ).reshape(h * w, 4 * c)
-    rows = jnp.take(quad, (y0i * w + x0i).reshape(-1), axis=0).reshape(h, w, 4, c)
+    # Row-width fast path: big-table row gathers on TPU fall off a cliff
+    # below 256 B/row (measured v5e, 2M rows: [N,40] f32 129 ms / [N,48]
+    # 140 / [N,56] 635, vs [N,64] 28.8 / [N,96] 29.2 / [N,128] 28.5) --
+    # padding the 40-channel history quad to 64 makes the warp ~5x faster
+    # for the cost of one dense copy.  Exact: the pad channels are sliced
+    # off after the gather.
+    padded_c = -(-(4 * c) // 64) * 64
+    if padded_c != 4 * c:
+        quad = jnp.pad(quad, ((0, 0), (0, padded_c - 4 * c)))
+    rows = jnp.take(quad, (y0i * w + x0i).reshape(-1), axis=0)
+    rows = rows[:, : 4 * c].reshape(h, w, 4, c)
     c00, c01, c10, c11 = rows[..., 0, :], rows[..., 1, :], rows[..., 2, :], rows[..., 3, :]
     out = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
     return out, in_bounds

@@ -165,7 +165,7 @@ def sorted_any(any_fn, o, d, key):
 
 
 def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
-                          compact: bool = True):
+                          compact: bool = True, num_tris: int | None = None):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -187,8 +187,13 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     lax.switch; see COMPACT_FRACTIONS).
 
     o [N,3] true origins; l [N,3] shadow dirs; b [N,3] bounce dirs.
+    `num_tris` (static scene triangle count) gates the scatter unsort: its
+    tri_occ channel packs (tri+1)*2+occ into an f32, exact only below 2^24,
+    so scenes past ~8.38M triangles route through the int-preserving
+    sort-carry path instead (None = caller guarantees the range).
     Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
+    scatter_ok = num_tris is None or (num_tris + 1) * 2 + 1 < (1 << 24)
     idx = jnp.arange(n, dtype=jnp.int32)
     # Narrow sort: only (key, idx) ride the 2M-lane sort (sort cost is per
     # operand); the 9 ray channels are fetched for the live prefix by ONE
@@ -232,7 +237,7 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
         # occ rides the tri channel ((tri+1)*2 + occ, exact below 2^24):
         # every unsort operand costs ~3 ms at 2M lanes.
         tri_occ = (hit["tri"] + 1) * 2 + occ
-        if _scatter_unsort(nb, n):
+        if scatter_ok and _scatter_unsort(nb, n):
             # Tiny live prefix: ONE [nb, 4] row scatter back to ray order
             # beats the 5-operand full-width unsort (~7.5 vs ~15 ms at
             # n/64; the sort stays cheaper above ~n/32).  tri_occ rides an

@@ -288,13 +288,23 @@ def make_tracer(scene: dict, bvh: dict | None, cfg):
         elif "fat4nodes" in bvh:  # grandchildren-at-node layout (bvh_wide=4)
             packed = {"fat4nodes": bvh["fat4nodes"], "tris": bvh["tris"]}
             # Tables past the VMEM budget stream triangles from HBM with a
-            # one-block demand-paged cache (chunk_mode="paged"); sizes are
-            # static so this resolves at trace time.
-            from nebulae_tpu.kernels.pallas_trace import SINGLE_TABLE_MAX_BYTES
+            # demand-paged cache -- and so does an EXPLICIT
+            # chunk_mode="paged" at any size (the Renderer pads the tri
+            # table for paging in that case; honoring the knob here keeps
+            # the decision consistent instead of silently running resident
+            # below the byte budget).  Sizes/config are static so this
+            # resolves at trace time.
+            from nebulae_tpu.kernels.pallas_trace import (
+                PAGE_TILES,
+                SINGLE_TABLE_MAX_BYTES,
+            )
 
             paged = (
                 4 * (packed["fat4nodes"].size + packed["tris"].size)
                 > SINGLE_TABLE_MAX_BYTES
+            ) or (
+                cfg.chunk_mode == "paged"
+                and packed["tris"].shape[0] % PAGE_TILES == 0
             )
             closest = partial(
                 pallas_closest_hit_fat4, packed=packed, interpret=interpret, paged=paged

@@ -174,6 +174,74 @@ def test_nrc_training_termination_stable():
     assert float(out["nrc_query_frac"]) > 0.05
 
 
+def test_learn_irradiance_factors_out_texture():
+    """The learnIrradiance protocol (DeferredRenderer.cpp:105-106 +
+    NrcCommon.h:126-131): train two caches on a radiance field that is a
+    high-frequency albedo texture times a smooth irradiance term.  With
+    demodulation the MLP only fits the smooth term, so at an equal training
+    budget its radiance-space error must beat raw-radiance training, which
+    has to memorize the texture."""
+    from nebulae_tpu.nrc.cache import (
+        init_cache,
+        make_optimizer,
+        query_cache,
+        train_cache_step,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 8192
+    pos = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    nrm = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))
+    view = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))
+    # checkerboard albedo at ~8x the frequency the positional encoding's low
+    # bands resolve; smooth cosine irradiance
+    checker = ((jnp.floor(pos[:, 0] * 16) + jnp.floor(pos[:, 2] * 16)) % 2.0)
+    albedo = jnp.stack([0.1 + 0.8 * checker] * 3, axis=-1)
+    irradiance = (0.5 + 0.4 * jnp.cos(3.0 * pos[:, 0]) * jnp.sin(2.0 * pos[:, 2]))[:, None]
+    metalness = jnp.zeros(n)
+    target = albedo * irradiance  # Lambertian: L_out = rho * E (up to 1/pi)
+
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3)
+    records = {
+        "position": pos, "normal": nrm, "view": view,
+        "roughness": jnp.full(n, 0.8), "albedo": albedo, "metalness": metalness,
+        "target": target, "weight": jnp.ones(n),
+    }
+
+    def train(learn_irr: bool, steps: int = 60):
+        state = init_cache(seed=0)
+        opt = make_optimizer(1e-2)
+
+        @jax.jit
+        def step(cs):
+            return train_cache_step(
+                cs, opt, records, aabb_min, aabb_max, learn_irradiance=learn_irr
+            )
+
+        for _ in range(steps):
+            state, loss = step(state)
+        surf = {
+            "position": pos, "normal_s": nrm, "roughness": jnp.full(n, 0.8),
+            "albedo": albedo, "metalness": metalness,
+        }
+        pred = query_cache(
+            state["ema_params"], surf, view, aabb_min, aabb_max,
+            learn_irradiance=learn_irr,
+        )
+        return float(jnp.mean((pred - target) ** 2))
+
+    err_demod = train(True)
+    err_raw = train(False)
+    assert np.isfinite(err_demod) and np.isfinite(err_raw)
+    # albedo is also an MLP *input*, so raw training partially compensates;
+    # measured ~1.7x advantage for demodulation at this budget.
+    assert err_demod < 0.75 * err_raw, (
+        f"demodulated cache should beat raw radiance on textured targets: "
+        f"{err_demod} vs {err_raw}"
+    )
+
+
 def test_memory_footprint_accounting():
     """memory_footprint (GetMemoryFootprint analogue) sums the real pytree
     bytes of params/ema/opt state."""
