@@ -74,6 +74,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="crash-dump directory (default $NEBULAE_CRASH_DIR or /tmp/nebulae_crash)")
     p.add_argument("--heartbeat", default=None,
                    help="liveness file touched every frame (default <out>/heartbeat)")
+    # Multi-host / multi-chip (SURVEY.md section 2.8: rays shard over the
+    # mesh, scene/BVH replicate, gradients all-reduce over ICI; hosts touch
+    # DCN only for bring-up, the host-0 image gather, and checkpoints).
+    p.add_argument("--coordinator", default=None,
+                   help="process-0 address host:port for jax.distributed (multi-host)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total processes in the multi-host run (1 = single process)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in the multi-host run")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the frame over ALL visible devices (implied by "
+                        "--num-processes > 1); height must divide the device count")
     return p
 
 
@@ -133,6 +145,14 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
+    # Multi-host bring-up must precede any device use.
+    distributed = args.num_processes > 1 or args.mesh
+    if args.num_processes > 1:
+        from nebulae_tpu.dist.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    is_host0 = jax.process_index() == 0
+
     from nebulae_tpu.config import RenderConfig
     from nebulae_tpu.core.camera import OrbitCamera
     from nebulae_tpu.core.scene import load_scene
@@ -184,7 +204,16 @@ def main(argv=None) -> int:
         )
     if args.sky_color:
         sun = sun.replace(sky_color=_vec3(args.sky_color))
-    renderer = Renderer(fs, cfg, sun=sun)
+    if distributed:
+        from nebulae_tpu.dist.runner import DistRenderer
+
+        renderer = DistRenderer(fs, cfg, sun=sun)
+        log_info(
+            f"mesh: {renderer.mesh.devices.size} devices / "
+            f"{jax.process_count()} processes (rays axis)"
+        )
+    else:
+        renderer = Renderer(fs, cfg, sun=sun)
     if args.nrc:
         # Startup memory accounting, like the reference's NRC footprint query
         # (NvRtxgiNRC.cpp:160-164 logged via its memory-events callback).
@@ -212,11 +241,31 @@ def main(argv=None) -> int:
 
             img = np.asarray(Image.open(args.envmap).convert("RGB"), np.float32) / 255.0
             env = srgb_to_linear(img).astype(np.float32)
-        renderer.scene["env_map"] = jnp.asarray(env)
+        if distributed:
+            from nebulae_tpu.dist.mesh import replicated
+
+            renderer.scene["env_map"] = jax.device_put(
+                jnp.asarray(env), replicated(renderer.mesh)
+            )
+        else:
+            renderer.scene["env_map"] = jnp.asarray(env)
     if args.resume:
         from nebulae_tpu.utils.checkpoint import load_checkpoint
 
-        renderer.state = load_checkpoint(args.resume, renderer.state)
+        if distributed:
+            # Checkpoints store one global host snapshot; every process
+            # restores it and re-shards onto the mesh.
+            from nebulae_tpu.dist.mesh import shard_frame_state
+            from nebulae_tpu.dist.runner import gather_state
+
+            host_state = load_checkpoint(args.resume, gather_state(renderer.state))
+            renderer.state = jax.tree.map(
+                lambda x, s: jax.device_put(x, s),
+                host_state,
+                shard_frame_state(renderer.mesh, host_state),
+            )
+        else:
+            renderer.state = load_checkpoint(args.resume, renderer.state)
         log_info(f"resumed state from {args.resume}")
 
     lo, hi = fs.aabb_min, fs.aabb_max
@@ -237,9 +286,12 @@ def main(argv=None) -> int:
     from nebulae_tpu.utils.metrics import MetricsLogger
 
     crashdump.install(state_provider=lambda: renderer.state, dump_dir=args.crash_dir)
-    metrics_path = args.metrics or str(Path(args.out) / "metrics.jsonl")
+    # Per-host observability: ranks > 0 get suffixed metric/heartbeat files
+    # so a pod run leaves one liveness + metrics stream per host.
+    rank_sfx = "" if is_host0 else f".r{jax.process_index()}"
+    metrics_path = args.metrics or str(Path(args.out) / f"metrics{rank_sfx}.jsonl")
     metrics = MetricsLogger(None if metrics_path == "off" else metrics_path)
-    heartbeat = Heartbeat(args.heartbeat or Path(args.out) / "heartbeat")
+    heartbeat = Heartbeat(args.heartbeat or Path(args.out) / f"heartbeat{rank_sfx}")
 
     import time as _time
 
@@ -291,6 +343,14 @@ def main(argv=None) -> int:
                 # the unbiased estimate; tonemap once after the loop.
                 acc = accum_state.get("hdr")
                 accum_state["hdr"] = out["hdr"] if acc is None else acc + out["hdr"]
+            elif distributed:
+                # Host-0 present: gather the row-sharded LDR over DCN; only
+                # process 0 touches the output directory.
+                from nebulae_tpu.dist.runner import present_gather
+
+                ldr_np = present_gather(out["ldr"])
+                if is_host0:
+                    writer.present(ldr_np)
             else:
                 writer.present(out["ldr"])
             timer.tick()
@@ -304,7 +364,16 @@ def main(argv=None) -> int:
             if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
                 from nebulae_tpu.utils.checkpoint import save_checkpoint
 
-                save_checkpoint(args.checkpoint_dir, renderer.state, step=i + 1)
+                if distributed:
+                    # One consistent global snapshot: every process gathers
+                    # (collective), process 0 serializes.
+                    from nebulae_tpu.dist.runner import gather_state
+
+                    host_state = gather_state(renderer.state)
+                    if is_host0:
+                        save_checkpoint(args.checkpoint_dir, host_state, step=i + 1)
+                else:
+                    save_checkpoint(args.checkpoint_dir, renderer.state, step=i + 1)
 
     if args.profile:
         with profile_trace(args.profile):

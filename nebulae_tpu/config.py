@@ -90,6 +90,21 @@ class RenderConfig:
     # factors out of the MLP instead of being memorized.  False = learn raw
     # outgoing radiance (A/B knob).
     nrc_learn_irradiance: bool = True
+    # Query-pass resolve placement: True = query the cache inline at the
+    # handoff vertex inside the bounce scan (round-3 design); False = carry
+    # a 17-channel query record through the scan and resolve once after it
+    # (the reference's literal structure: query records are buffered and
+    # resolved post-trace, radiance_resolve.hlsl:24-32).  Same values up to
+    # float add order; the knob exists because the two shapes stress XLA's
+    # VMEM memory-space assignment differently (docs/PERFORMANCE.md round 4).
+    nrc_inline_resolve: bool = True
+    # Unroll the query pass's bounce loop (a Python loop instead of
+    # lax.scan).  XLA's memory-space assignment prices buffer uses inside a
+    # while loop through a pessimistic execution-count model; unrolled, the
+    # per-bounce gather tables (tri_fast) get VMEM pins like the plain
+    # frame's.  Costs compile time proportional to max_bounces; identical
+    # values.
+    nrc_unroll_query: bool = True
     # NRC debug resolve modes, mirroring the reference's visual-inspection
     # views (NrcStructures.h:186-245): None | "bounce_heatmap" (path vertex
     # count) | "query_bounce" (bounce index of cache handoff, -1 = never) |

@@ -43,8 +43,10 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
     spread0 = primary_spread(gbuf["depth"], cos0)
     spread0 = jnp.where(jnp.isfinite(spread0), spread0, 0.0)
 
+    QREC_KEYS = ("position", "normal_s", "albedo", "roughness", "metalness")
+
     def body(carry, bounce_i):
-        rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg = carry
+        rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
@@ -75,15 +77,30 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         pdf = cos_new / PI * pre["p_d"]
         spread = spread + spread_term(hit_t, cos_new, pdf)
         terminate = alive & (spread > cfg.nrc_terminate_threshold * spread0) & ~q_set
-        # Inline resolve (radiance_resolve.hlsl:24-32): query the cache AT
-        # the handoff vertex and add query radiance x prefix throughput now
-        # -- the cache params are loop-invariant, so this is exact up to
-        # float add order and removes ~17 full-width channels of carried
-        # query-record state from the scan (round 3; perf-neutral on chip,
-        # kept for the simpler carry -- see docs/PERFORMANCE.md round 3 on
-        # the NRC gather-pin sensitivity this did NOT fix).
-        pred = query_cache(cache_params, surf, view, scene["aabb_min"], scene["aabb_max"])
-        acc = acc + jnp.where(terminate[..., None], throughput * pred, 0.0)
+        if cfg.nrc_inline_resolve:
+            # Inline resolve (radiance_resolve.hlsl:24-32): query the cache
+            # AT the handoff vertex and add query radiance x prefix
+            # throughput now -- the cache params are loop-invariant, so this
+            # is exact up to float add order and removes ~17 full-width
+            # channels of carried query-record state from the scan.
+            pred = query_cache(
+                cache_params, surf, view, scene["aabb_min"], scene["aabb_max"],
+                learn_irradiance=cfg.nrc_learn_irradiance,
+            )
+            acc = acc + jnp.where(terminate[..., None], throughput * pred, 0.0)
+        else:
+            # Carried query record (the reference's buffered-query structure:
+            # query records are written during the trace and resolved after,
+            # NrcStructures.h:94-169 + radiance_resolve.hlsl): latch the
+            # handoff vertex's surface/view/prefix-throughput; ONE cache
+            # query resolves post-scan.  Keeps the MLP out of the bounce
+            # loop -- a leaner while body for XLA's memory-space assignment.
+            t_ = terminate[..., None]
+            new_qrec = {k: jnp.where(t_ if surf[k].ndim == 2 else terminate, surf[k], qrec[k])
+                        for k in QREC_KEYS}
+            new_qrec["view"] = jnp.where(t_, view, qrec["view"])
+            new_qrec["throughput"] = jnp.where(t_, throughput, qrec["throughput"])
+            qrec = new_qrec
         q_set = q_set | terminate
         # Debug counters (the reference's NRC debug resolve modes,
         # NrcStructures.h:186-245): per-path vertex count and the bounce
@@ -97,12 +114,18 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
             ),
         }
         alive = alive & ~terminate
-        return (rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg), None
+        return (rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec), None
 
     dbg0 = {
         "n_vert": gbuf["hit"].astype(jnp.float32),  # primary vertex counts
         "term_bounce": jnp.full(n_pix, -1.0, jnp.float32),
     }
+    if cfg.nrc_inline_resolve:
+        qrec0 = jnp.zeros((), jnp.float32)  # placeholder carry leaf
+    else:
+        qrec0 = {k: jnp.zeros_like(surf0[k]) for k in QREC_KEYS}
+        qrec0["view"] = jnp.zeros((n_pix, 3), jnp.float32)
+        qrec0["throughput"] = jnp.zeros((n_pix, 3), jnp.float32)
     carry = (
         rng_state,
         jnp.ones((n_pix, 3), jnp.float32),
@@ -113,12 +136,33 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         jnp.zeros(n_pix, jnp.float32),
         jnp.zeros(n_pix, bool),
         dbg0,
+        qrec0,
     )
     if cfg.max_bounces > 1:
-        carry, _ = jax.lax.scan(
-            body, carry, jnp.arange(cfg.max_bounces - 1, dtype=jnp.int32)
+        if cfg.nrc_unroll_query:
+            # Unrolled bounce loop: no XLA while -- memory-space assignment
+            # prices each gather-table use individually instead of through
+            # the while-loop cost model that starved the NRC program's
+            # tri_fast pin (docs/PERFORMANCE.md round 4).
+            for i in range(cfg.max_bounces - 1):
+                carry, _ = body(carry, jnp.int32(i))
+        else:
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.arange(cfg.max_bounces - 1, dtype=jnp.int32)
+            )
+    rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
+    if not cfg.nrc_inline_resolve and cfg.max_bounces > 1:
+        # Post-scan resolve: one cache query over the latched handoff records
+        # (radiance_resolve.hlsl:24-32); q_set masks never-terminated paths.
+        pred = query_cache(
+            cache_params,
+            {k: qrec[k] for k in QREC_KEYS},
+            qrec["view"],
+            scene["aabb_min"],
+            scene["aabb_max"],
+            learn_irradiance=cfg.nrc_learn_irradiance,
         )
-    rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg = carry
+        acc = acc + jnp.where(q_set[..., None], qrec["throughput"] * pred, 0.0)
     direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
     acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 

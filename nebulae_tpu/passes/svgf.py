@@ -251,15 +251,21 @@ def _bilinear_history_quad(stack, x, y):
         [stack, _shift2d(stack, 0, -1), _shift2d(stack, -1, 0), _shift2d(stack, -1, -1)],
         axis=-1,
     ).reshape(h * w, 4 * c)
-    # Row-width fast path: big-table row gathers on TPU fall off a cliff
-    # below 256 B/row (measured v5e, 2M rows: [N,40] f32 129 ms / [N,48]
-    # 140 / [N,56] 635, vs [N,64] 28.8 / [N,96] 29.2 / [N,128] 28.5) --
-    # padding the 40-channel history quad to 64 makes the warp ~5x faster
-    # for the cost of one dense copy.  Exact: the pad channels are sliced
-    # off after the gather.
+    # Row-width fast path: 2M-row gathers from tables with a narrow minor
+    # dim get a channel-planar {0,1} layout from XLA, turning each row fetch
+    # into C strided reads -- [N,40] f32 measured 99.5 ms vs [N,64] 29.9 on
+    # v5e (the round-3 153 ms warp).  Padding the 40-channel quad to 64
+    # flips the layout to row-major and the warp runs ~3.3x faster for the
+    # cost of one dense copy.  The optimization_barrier keeps XLA's
+    # simplifier from stripping the pad (it otherwise sees pad->gather->
+    # slice and removes it, reverting the layout).  Exact: pad channels are
+    # sliced off after the gather.
+    import jax as _jax
+
     padded_c = -(-(4 * c) // 64) * 64
     if padded_c != 4 * c:
         quad = jnp.pad(quad, ((0, 0), (0, padded_c - 4 * c)))
+        quad = _jax.lax.optimization_barrier(quad)
     rows = jnp.take(quad, (y0i * w + x0i).reshape(-1), axis=0)
     rows = rows[:, : 4 * c].reshape(h, w, 4, c)
     c00, c01, c10, c11 = rows[..., 0, :], rows[..., 1, :], rows[..., 2, :], rows[..., 3, :]

@@ -102,3 +102,83 @@ def test_sharded_train_step_grads_match(cornell_scene, cornell_camera):
     for k in ("mat_base_color", "mat_roughness", "mat_metallic"):
         a, b = np.asarray(g1[k]), np.asarray(g2[k])
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+
+
+def test_collective_volume_and_shard_balance(cornell_scene, cornell_camera):
+    """Scaling falsifiability (BASELINE.md >=80% linear gate): account the
+    bytes each compiled sharded step moves through collectives and assert
+    shard balance.  Pins two measured facts (v5e-independent, CPU mesh):
+
+      * sort_rays=False -- collective volume is bounded per-pixel (gradient
+        all-reduces + a few per-image reductions), the precondition for
+        linear scaling;
+      * sort_rays=True -- the global bounce sorts ALL-GATHER the wavefront
+        (lax.sort over the sharded rays axis), i.e. collective bytes scale
+        with rays.  The accounting must DETECT this: it is the known
+        scaling hazard of the single-chip compaction design, and the reason
+        a pod run would shard-local-sort instead (docs/ARCHITECTURE.md).
+    """
+    from functools import partial
+
+    from nebulae_tpu.dist.mesh import make_mesh, replicated, shard_frame_state, shard_pixels
+    from nebulae_tpu.dist.stats import collective_stats, shard_balance
+    from nebulae_tpu.engine.renderer import init_frame_state
+    from nebulae_tpu.engine.train import render_loss, split_scene_params
+    from nebulae_tpu.passes.gbuffer import make_camera_arrays
+
+    scene = {k: jnp.asarray(v) for k, v in cornell_scene.flat.device_arrays().items()}
+    mesh = make_mesh(8)
+    rep = replicated(mesh)
+
+    def compile_step(sort: bool):
+        cfg = RenderConfig(
+            width=32, height=32, max_bounces=2, enable_svgf=False,
+            enable_tonemap=False, sort_rays=sort,
+        )
+        params, frozen = split_scene_params(dict(scene))
+        params["sun"] = jax.tree.map(jnp.asarray, SunLight.default(np))
+        cam = make_camera_arrays(cornell_camera, cfg.width, cfg.height)
+        state = init_frame_state(cfg)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        def grads_fn(params, state, target):
+            return jax.value_and_grad(
+                partial(render_loss, cfg=cfg, train_sun=True), has_aux=True
+            )(params, frozen, None, cam, state, target)
+
+        in_sh = (
+            jax.tree.map(lambda _: rep, params),
+            shard_frame_state(mesh, state),
+            shard_pixels(mesh, 3, axis=0),
+        )
+        args = (
+            params,
+            jax.device_put(state, in_sh[1]),
+            jax.device_put(target, in_sh[2]),
+        )
+        compiled = jax.jit(grads_fn, in_shardings=in_sh).lower(*args).compile()
+        return compiled, args[2]
+
+    compiled, tgt = compile_step(sort=False)
+    stats = collective_stats(compiled)
+    assert stats.get("all-reduce", {"count": 0})["count"] > 0, (
+        f"sharded grads must all-reduce: {stats}"
+    )
+    # Bounded volume: measured 74 KB at 32x32 (gradient all-reduces + a few
+    # per-image reductions) = ~72 B/pixel; the per-bounce wavefront state is
+    # >= 400 B/pixel, so anything >128 B/pixel means ray data started riding
+    # collectives in the sortless step.
+    n_pix = 32 * 32
+    assert stats["total_bytes"] <= 128 * n_pix, stats
+
+    # The detector must catch the sort's wavefront all-gather.
+    compiled_s, _ = compile_step(sort=True)
+    stats_s = collective_stats(compiled_s)
+    ag = stats_s.get("all-gather", {"bytes": 0})["bytes"]
+    assert ag >= 10 * n_pix * 4, (
+        f"global-sort wavefront all-gather not detected: {stats_s}"
+    )
+
+    # Shard balance: equal rows per device == equal per-device ray counts.
+    bal = shard_balance(tgt)
+    assert bal["balanced"] and bal["shards"] == 8, bal

@@ -26,6 +26,71 @@ def _free_port() -> int:
     return port
 
 
+def test_two_process_app_render_matches_single(tmp_path):
+    """End-to-end multi-host app: 2 processes x 4 CPU devices render the
+    Cornell GI+SVGF frame through `python -m nebulae_tpu.app --coordinator
+    ... --num-processes 2`, host 0 gathers and writes the image; pixels must
+    match the plain single-process app (the sharded == single contract of
+    tests/test_dist.py, here across a real process boundary + the DCN image
+    gather)."""
+    import numpy as np
+    from PIL import Image
+
+    scene = "/root/reference/assets/cornell_box/cornell_box.gltf"
+    base_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    common = [
+        sys.executable, "-m", "nebulae_tpu.app", "--scene", scene,
+        "--width", "32", "--height", "32", "--frames", "2", "--bounces", "2",
+        "--spp", "1", "--metrics", "off", "--orbit-speed", "3.0",
+    ]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    out_single = tmp_path / "single"
+    env1 = dict(base_env)
+    p = subprocess.run(
+        common + ["--out", str(out_single)],
+        capture_output=True, text=True, env=env1, cwd=cwd, timeout=600,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+
+    out_multi = tmp_path / "multi"
+    port = _free_port()
+    env2 = dict(base_env)
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            common + [
+                "--out", str(out_multi),
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env2, cwd=cwd,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=780)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("app workers timed out:\n" + "\n---\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"app worker failed:\n{out}"
+
+    for frame in ("frame_00000.png", "frame_00001.png"):
+        a = np.asarray(Image.open(out_single / frame), np.int16)
+        b = np.asarray(Image.open(out_multi / frame), np.int16)
+        # Identical math per pixel under SPMD; allow 1 u8 step for any
+        # collective-order float wiggle at the quantization boundary.
+        assert np.abs(a - b).max() <= 1, frame
+
+
 def test_two_process_four_device_train_step():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")

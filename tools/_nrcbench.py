@@ -57,6 +57,7 @@ def main():
     variants = [
         ("plain fwd", base),
         ("nrc fwd", replace(base, enable_nrc=True)),
+        ("nrc fwd, carried qrec", replace(base, enable_nrc=True, nrc_inline_resolve=False)),
         ("nrc fwd, no self-training", replace(base, enable_nrc=True, nrc_self_training=False)),
         ("nrc fwd, 1 train iter", replace(base, enable_nrc=True, nrc_train_iterations=1)),
     ]
