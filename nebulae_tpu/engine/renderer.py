@@ -453,8 +453,9 @@ class Renderer:
         tri_pos [T, 3, 3] float32; tri_nrm optional [T, 3, 3]."""
         if self.bvh is not None and ("chunks" in self.bvh or "tri_chunks" in self.bvh):
             raise NotImplementedError(
-                "refit over chunked (>160k tri) tables is unsupported; rebuild "
-                "the Renderer for large dynamic scenes"
+                "refit over subtree/tri-chunked tables is unsupported (each "
+                "chunk re-bases the tree); use chunk_mode='paged' (refittable "
+                "at any size) or rebuild the Renderer"
             )
         if not hasattr(self, "_refit_fn"):
             self._refit_fn = self._build_refit_fn()
@@ -500,7 +501,17 @@ class Renderer:
                 from nebulae_tpu.kernels.pallas_trace import TRI_STRIDE
 
                 g = int(self.bvh["tris"].shape[1]) // TRI_STRIDE
-                meta["slot_tri"] = grouped_tri_ids(host, g)
+                slot_tri = grouped_tri_ids(host, g)
+                # Demand-paged tables are padded to PAGE_TILES block
+                # multiples (pad_tris_for_paging); pad the slot map with
+                # empty (-1) slots so the repack covers the padded blocks.
+                need = int(self.bvh["tris"].shape[0]) * 128
+                if slot_tri.shape[0] < need:
+                    slot_tri = np.concatenate(
+                        [slot_tri,
+                         np.full((need - slot_tri.shape[0], g), -1, slot_tri.dtype)]
+                    )
+                meta["slot_tri"] = slot_tri
             if "fat4nodes" in self.bvh:
                 meta["fat4_slots"] = np.asarray(self.bvh["fat4_slots"])
             elif "fatnodes" in self.bvh:

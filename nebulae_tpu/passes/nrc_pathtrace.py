@@ -47,23 +47,19 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
 
     def body(carry, bounce_i):
         rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
-        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
+        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_step
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
         alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
-        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
+        vis, found, hit_t, new_surf = nee_bounce_step(
+            scene, pre, alive_b, closest_fn, any_fn, cfg
+        )
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
         alive = alive_b
         new_d = pre["new_d"]
-        found = hit["tri"] >= 0
-        from nebulae_tpu.passes.pathtrace import _reconstruct
-
-        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
-        new_surf = {k: surf_full[k] for k in SURF_KEYS}
         cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
-        hit_t = hit["t"]
 
         throughput = throughput * pre["weight"]
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
@@ -236,11 +232,13 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
 
     def body(carry, _):
         rng_state, alive, surf, view, spread = carry
-        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_trace
+        from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_step
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
         alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
-        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
+        vis, found, hit_t, new_surf = nee_bounce_step(
+            scene, pre, alive_b, closest_fn, any_fn, cfg
+        )
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         local = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
         rec_surf, rec_view, rec_alive = surf, view, alive
@@ -248,11 +246,6 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
 
         new_d = pre["new_d"]
         weight = pre["weight"]
-        found = hit["tri"] >= 0
-        from nebulae_tpu.passes.pathtrace import _reconstruct
-
-        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
-        new_surf = {k: surf_full[k] for k in SURF_KEYS}
         # Sky closes the path: fold into this vertex's local target.
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         local = local + jnp.where((alive & ~found)[..., None], weight * sky, 0.0)
@@ -263,7 +256,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
         # vertex -- folded into this record's target exactly like the sky.
         cos_new = jnp.clip(nmath.dot(new_surf["normal_s"], -new_d)[..., 0], 1e-3, 1.0)
         pdf = cos_new / PI * pre["p_d"]  # RR-adjusted pdf (pathtracer.hlsl:620)
-        spread = spread + spread_term(hit["t"], cos_new, pdf)
+        spread = spread + spread_term(hit_t, cos_new, pdf)
         term = (
             alive & found & ~unbiased
             & (spread > cfg.nrc_train_terminate_threshold * spread0)

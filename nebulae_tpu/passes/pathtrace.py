@@ -125,6 +125,98 @@ def _reconstruct(scene, hit, origin, new_d, cfg):
     return reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
 
 
+def _use_compact_reconstruct(scene, cfg):
+    return (
+        cfg.sort_rays
+        and cfg.fast_bounce_shading
+        and "tri_fast" in scene
+        and scene["tri_fast"].shape[0] > 0
+    )
+
+
+def _fast_shading_compact_post(scene):
+    """compact_post for sorted_shadow_closest: interpolate the fast-shading
+    attributes (shading/geometric normal + material id) INSIDE the compacted
+    sorted domain, where the tri_fast row gather scales with the live count
+    instead of paying a full-width HBM row fetch per bounce (36 ms x bounces
+    in the NRC frame, round-4 trace).  The 7 outputs ride the existing
+    unsort.  Math identical to core.surface.reconstruct_surface_fast."""
+    from nebulae_tpu.core.surface import _bary_packed, _take_rows
+
+    def post(hit, os, bs):
+        tid = jnp.clip(hit["tri"], 0, scene["tri_pos"].shape[0] - 1)
+        row = _take_rows(scene["tri_fast"], tid, jnp)
+        nrm = nmath.normalize(_bary_packed(row[..., 0:9], hit["u"], hit["v"], 3, jnp))
+        ng = row[..., 9:12]
+        view = -bs
+        flip = jnp.where(nmath.dot(nrm, view) < 0.0, -1.0, 1.0)
+        ns = nrm * flip
+        ng = ng * jnp.where(nmath.dot(ng, ns) < 0.0, -1.0, 1.0)
+        out = {
+            # miss lanes carry mat -1: the unsorted (mat+1)*2+occ channel
+            # doubles as the found flag, like tri_occ did
+            "mat": jnp.where(hit["tri"] >= 0, row[..., 12], -1.0),
+            "nsx": ns[..., 0], "nsy": ns[..., 1], "nsz": ns[..., 2],
+            "ngx": ng[..., 0], "ngy": ng[..., 1], "ngz": ng[..., 2],
+        }
+        return jax.lax.stop_gradient(out)
+
+    # Dead-lane fills: a unit normal keeps downstream normalize/dot finite.
+    fills = {"nsz": 1.0, "ngz": 1.0}
+    return post, fills
+
+
+def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
+    """One path vertex's traces + next-vertex surface reconstruction.
+
+    Returns (vis [N], found [N] bool, hit_t [N], surf dict).  With ray
+    sorting + fast bounce shading the shading attributes are reconstructed
+    in the compacted sorted domain (see _fast_shading_compact_post); other
+    configurations trace then reconstruct full-width."""
+    if _use_compact_reconstruct(scene, cfg):
+        origin = jax.lax.stop_gradient(pre["origin"])
+        l = jax.lax.stop_gradient(pre["l"])
+        b = jax.lax.stop_gradient(pre["new_d"])
+        participate = alive_bounce | pre["shoot"]
+        key = ray_sort_key(
+            origin, b, scene["aabb_min"], scene["aabb_max"], participate,
+            low_bits=pre["shoot"].astype(jnp.int32) + 2 * alive_bounce.astype(jnp.int32),
+        )
+        post, fills = _fast_shading_compact_post(scene)
+        occ, hit = sorted_shadow_closest(
+            any_fn, closest_fn, origin, l, b, key,
+            combo_fn=getattr(closest_fn, "combo", None),
+            num_tris=scene["tri_pos"].shape[0],
+            compact_post=post, post_fills=fills,
+        )
+        vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
+        mat = hit["mat"]
+        tcl = jnp.clip(hit["t"], 0.0, 1e30)
+        ns = jnp.stack([hit["nsx"], hit["nsy"], hit["nsz"]], axis=-1)
+        ng = jnp.stack([hit["ngx"], hit["ngy"], hit["ngz"]], axis=-1)
+        from nebulae_tpu.core.surface import fetch_rows
+
+        m = jnp.clip(mat, 0, scene["mat_avg_albedo"].shape[0] - 1)
+        albedo = fetch_rows(scene["mat_avg_albedo"], m, jnp)
+        rough = fetch_rows(scene["mat_avg_rough"][:, None], m, jnp)[..., 0]
+        metal = fetch_rows(scene["mat_avg_metal"][:, None], m, jnp)[..., 0]
+        emissive = fetch_rows(scene["mat_avg_emissive"], m, jnp)
+        surf = {
+            "position": pre["origin"] + tcl[..., None] * pre["new_d"],
+            "normal_g": ng,
+            "normal_s": ns,
+            "albedo": albedo,
+            "roughness": jnp.clip(rough, 0.02, 1.0),
+            "metalness": jnp.clip(metal, 0.0, 1.0),
+            "emissive": emissive,
+        }
+        return vis, hit["found"], hit["t"], surf
+    vis, hit = nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg)
+    surf_full = _reconstruct(scene, hit, pre["origin"], pre["new_d"], cfg)
+    surf = {k: surf_full[k] for k in SURF_KEYS}
+    return vis, hit["tri"] >= 0, hit["t"], surf
+
+
 def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
     """Sun-disk NEE at a vertex (2 draws). Returns (direct, rng_state)."""
     rng_state, u1 = nrng.next_float(rng_state)
@@ -173,20 +265,20 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         if cfg.throughput_threshold > 0.0:
             alive_b = alive_b & (new_throughput.max(axis=-1) > cfg.throughput_threshold)
 
-        # Shadow + bounce under one shared sort (sorted_shadow_closest).
-        vis, hit = nee_bounce_trace(scene, pre, alive_b, closest_fn, any_fn, cfg)
+        # Shadow + bounce under one shared sort; next-vertex reconstruction
+        # rides the compacted domain when fast shading is on (nee_bounce_step).
+        vis, found, _hit_t, surf = nee_bounce_step(
+            scene, pre, alive_b, closest_fn, any_fn, cfg
+        )
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
         throughput = new_throughput
         alive = alive_b
         new_d = pre["new_d"]
-        found = hit["tri"] >= 0
         sky = brdf.sky_eval(new_d, sun, scene, cfg, jnp)
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
-        surf_full = _reconstruct(scene, hit, pre["origin"], new_d, cfg)
-        surf = {k: surf_full[k] for k in SURF_KEYS}
         acc = acc + jnp.where(alive[..., None], throughput * surf["emissive"], 0.0)
         return (rng_state, throughput, alive, acc, surf, -new_d), None
 

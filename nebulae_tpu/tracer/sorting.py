@@ -165,7 +165,8 @@ def sorted_any(any_fn, o, d, key):
 
 
 def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
-                          compact: bool = True, num_tris: int | None = None):
+                          compact: bool = True, num_tris: int | None = None,
+                          compact_post=None, post_fills: dict | None = None):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -191,9 +192,22 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     tri_occ channel packs (tri+1)*2+occ into an f32, exact only below 2^24,
     so scenes past ~8.38M triangles route through the int-preserving
     sort-carry path instead (None = caller guarantees the range).
+
+    `compact_post(hit, os, bs) -> dict[str, [nb] f32]` runs INSIDE the
+    compacted sorted domain on the raw hit record (gathers there scale with
+    the live count, not N) and its channels ride the same unsort as the hit
+    -- the round-4 fix for the full-width per-bounce surface gather.  With
+    it, the returned hit dict drops u/v/tri (consumed by compact_post) and
+    gains the post channels; `post_fills` gives each channel's dead-lane
+    fill (default 0).  Post channels are treated as non-differentiable
+    (callers detach their inputs).
+
     Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     scatter_ok = num_tris is None or (num_tris + 1) * 2 + 1 < (1 << 24)
+    post_names: tuple = ()
+    if compact_post is not None:
+        post_fills = dict(post_fills or {})
     idx = jnp.arange(n, dtype=jnp.int32)
     # Narrow sort: only (key, idx) ride the 2M-lane sort (sort cost is per
     # operand); the 9 ray channels are fetched for the live prefix by ONE
@@ -234,33 +248,57 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
             o_bounce = jnp.where(alive_s[:nb, None], os, DEAD_ORIGIN)
             occ = any_fn(o_shadow, ls).astype(jnp.int32)
             hit = closest_fn(o_bounce, bs)
-        # occ rides the tri channel ((tri+1)*2 + occ, exact below 2^24):
+        # occ rides the id channel ((id+1)*2 + occ, exact below 2^24):
         # every unsort operand costs ~3 ms at 2M lanes.
-        tri_occ = (hit["tri"] + 1) * 2 + occ
+        if compact_post is not None:
+            extras = compact_post(hit, os, bs)
+            nonlocal post_names
+            post_names = tuple(sorted(extras))
+            # compact_post consumes u/v/tri; its "mat" id replaces tri in
+            # the packed occ channel.
+            id_occ = (jnp.round(extras.pop("mat")).astype(jnp.int32) + 1) * 2 + occ
+            chans = [("id_occ", id_occ, 0.0), ("t", hit["t"], jnp.inf)]
+            chans += [(k, extras[k], float(post_fills.get(k, 0.0)))
+                      for k in post_names if k != "mat"]
+        else:
+            id_occ = (hit["tri"] + 1) * 2 + occ
+            chans = [("id_occ", id_occ, 0.0),
+                     ("t", hit["t"], jnp.inf),
+                     ("u", hit["u"], 0.0), ("v", hit["v"], 0.0)]
+        # id_occ stays int32 on the sort path (no f32 exactness ceiling);
+        # the scatter path casts it to f32 for the row stack, exact below
+        # 2^24 and gated by scatter_ok.  Both switch branches return
+        # (int32, f32...).
         if scatter_ok and _scatter_unsort(nb, n):
-            # Tiny live prefix: ONE [nb, 4] row scatter back to ray order
-            # beats the 5-operand full-width unsort (~7.5 vs ~15 ms at
-            # n/64; the sort stays cheaper above ~n/32).  tri_occ rides an
-            # f32 channel, exact below 2^24.
-            rows4 = jnp.stack(
-                [tri_occ.astype(jnp.float32), hit["t"], hit["u"], hit["v"]], axis=-1
+            # Tiny live prefix: ONE [nb, C] row scatter back to ray order
+            # beats the full-width unsort (~7.5 vs ~15 ms at n/64; the sort
+            # stays cheaper above ~n/32).
+            live_rows = jnp.stack(
+                [c.astype(jnp.float32) for _, c, _ in chans], axis=-1
             )
-            base = jnp.tile(jnp.asarray([0.0, jnp.inf, 0.0, 0.0], jnp.float32), (n, 1))
-            out = base.at[perm[:nb]].set(rows4, mode="drop", unique_indices=True)
-            return out[:, 0].astype(jnp.int32), out[:, 1], out[:, 2], out[:, 3]
-        padded = (
-            _pad_tail(tri_occ, n, 0),  # fill = tri -1, occ 0
-            _pad_tail(hit["t"], n, jnp.inf),
-            _pad_tail(hit["u"], n, 0.0),
-            _pad_tail(hit["v"], n, 0.0),
-        )
+            base = jnp.tile(
+                jnp.asarray([f for _, _, f in chans], jnp.float32), (n, 1)
+            )
+            out = base.at[perm[:nb]].set(live_rows, mode="drop", unique_indices=True)
+            return (out[:, 0].astype(jnp.int32),) + tuple(
+                out[:, i] for i in range(1, len(chans))
+            )
+        padded = tuple(_pad_tail(c, n, f) for _, c, f in chans)
         return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
     sizes = _bucket_sizes(n) if compact else [n]
     if len(sizes) > 1:
         n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
         sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        to_u, t, u, v = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+        outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
     else:
-        to_u, t, u, v = run(n)
-    return (to_u & 1) > 0, {"t": t, "tri": (to_u >> 1) - 1, "u": u, "v": v}
+        outs = run(n)
+    id_occ, t = outs[0], outs[1]
+    occluded = (id_occ & 1) > 0
+    ids = (id_occ >> 1) - 1
+    if compact_post is not None:
+        hit = {"t": t, "mat": ids, "found": ids >= 0}
+        names = [k for k in post_names if k != "mat"]
+        hit.update({k: v for k, v in zip(names, outs[2:])})
+        return occluded, hit
+    return occluded, {"t": t, "tri": ids, "u": outs[2], "v": outs[3]}

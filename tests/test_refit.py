@@ -167,6 +167,49 @@ def test_renderer_update_geometry_matches_rebuild(cornell_scene, cornell_camera)
     np.testing.assert_allclose(img_refit, img_rebuild, rtol=1e-4, atol=1e-5)
 
 
+def test_renderer_update_geometry_paged(cornell_scene, cornell_camera):
+    """Refit over a demand-paged tri table (chunk_mode='paged' forces the
+    HBM-streamed layout at any size): update_geometry must repack the padded
+    paged table and match a from-scratch paged rebuild -- dynamic scenes no
+    longer stop at the VMEM-resident ceiling
+    (RTAccelerationStructureBuilder.cpp:99-131 refits regardless of size)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state
+
+    fs = cornell_scene.flat
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas", bruteforce_max_tris=0, chunk_mode="paged",
+    )
+    r = Renderer(fs, cfg)
+    from nebulae_tpu.kernels.pallas_trace import PAGE_TILES
+
+    assert r.bvh["tris"].shape[0] % PAGE_TILES == 0  # actually paged layout
+    img0 = np.asarray(r.render(cornell_camera)["hdr"])
+
+    moved = np.asarray(fs.tri_pos).copy()
+    ext = float((fs.aabb_max - fs.aabb_min).max())
+    moved[..., 1] += 0.04 * ext * np.cos(moved[..., 0] / max(ext, 1e-6))
+
+    r.update_geometry(moved)
+    r.state = init_frame_state(cfg)
+    img_refit = np.asarray(r.render(cornell_camera)["hdr"])
+
+    from nebulae_tpu.core.scene import face_normals
+
+    fs2 = type(fs)(**{k: v for k, v in fs.__dict__.items() if not k.startswith("_")})
+    fs2.tri_pos = moved.astype(np.float32)
+    fs2.tri_face_nrm = face_normals(fs2.tri_pos, fs2.tri_nrm)
+    r2 = Renderer(fs2, cfg)
+    img_rebuild = np.asarray(r2.render(cornell_camera)["hdr"])
+
+    assert np.abs(img_refit - img0).max() > 1e-3
+    np.testing.assert_allclose(img_refit, img_rebuild, rtol=1e-4, atol=1e-5)
+
+
 def test_renderer_update_instances(cornell_scene):
     """Runtime per-instance transforms (the TLAS-instance analogue,
     RTCommon.h:85-107): moving one of two instanced boxes via
