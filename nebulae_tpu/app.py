@@ -56,6 +56,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--svgf-alpha", type=float, default=0.9)
     p.add_argument("--nrc-lr", type=float, default=1e-2)
     p.add_argument("--fast-bounce-shading", action="store_true")
+    p.add_argument("--no-texture-mips", action="store_true",
+                   help="disable primary-pass texture mip selection (UV-derivative "
+                        "LOD, the raster G-buffer's hardware-mips analogue)")
+    p.add_argument("--nrc-raw-radiance", action="store_true",
+                   help="train the cache on raw outgoing radiance instead of the "
+                        "learnIrradiance demodulated protocol")
     p.add_argument("--bvh-wide", type=int, default=4, choices=[2, 4],
                    help="fat traversal table width (children vs grandchildren per visit)")
     p.add_argument("--checkpoint-dir", default=None)
@@ -182,6 +188,8 @@ def main(argv=None) -> int:
         svgf_temporal_alpha=args.svgf_alpha,
         nrc_learning_rate=args.nrc_lr,
         fast_bounce_shading=args.fast_bounce_shading,
+        texture_mips=not args.no_texture_mips,
+        nrc_learn_irradiance=not args.nrc_raw_radiance,
         bvh_wide=args.bvh_wide,
     )
 

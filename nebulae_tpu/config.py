@@ -99,12 +99,12 @@ class RenderConfig:
     # VMEM memory-space assignment differently (docs/PERFORMANCE.md round 4).
     nrc_inline_resolve: bool = True
     # Unroll the query pass's bounce loop (a Python loop instead of
-    # lax.scan).  XLA's memory-space assignment prices buffer uses inside a
-    # while loop through a pessimistic execution-count model; unrolled, the
-    # per-bounce gather tables (tri_fast) get VMEM pins like the plain
-    # frame's.  Costs compile time proportional to max_bounces; identical
-    # values.
-    nrc_unroll_query: bool = True
+    # lax.scan).  Tried against the round-4 NRC gather regression: no win
+    # (XLA's memory-space assignment declined the tri_fast pin with or
+    # without the while loop; the compact-domain reconstruct made it moot).
+    # Kept as a knob; costs compile time proportional to max_bounces,
+    # identical values.
+    nrc_unroll_query: bool = False
     # NRC debug resolve modes, mirroring the reference's visual-inspection
     # views (NrcStructures.h:186-245): None | "bounce_heatmap" (path vertex
     # count) | "query_bounce" (bounce index of cache handoff, -1 = never) |
@@ -124,6 +124,11 @@ class RenderConfig:
     # Secondary bounces shade with face normals + texture-averaged material
     # values (no per-hit texture fetches) -- large speedup, tiny GI bias
     fast_bounce_shading: bool = False
+    # Texture mip selection in the PRIMARY pass from screen-space UV
+    # derivatives (core.surface.mip_level_from_uv) -- the raster G-buffer's
+    # hardware mips (deferred_gbuffers.hlsl:72-90).  Secondary bounces stay
+    # level 0, like the reference's SampleLevel(0) ray-traced fetches.
+    texture_mips: bool = True
     # Brute force is faster below this triangle count (whole scene fits VMEM)
     bruteforce_max_tris: int = 4096
     # BVH leaf size: bigger leaves trade sync-heavy node visits for dense

@@ -97,16 +97,40 @@ class FlatScene:
             self.tri_pos, self.tri_nrm, self.tri_uv, self.tri_tan, self.tri_mat,
             self.tri_face_nrm, self.mat_flags, self.mat_atlas_id,
         )
-        # Quad-packed atlas, memoized: the atlas never mutates after flatten
-        # (unlike the triangle tables, which utils.testscenes edits in place).
+        # Mip-extended + quad-packed atlas, memoized: the atlas never mutates
+        # after flatten (unlike the triangle tables, which utils.testscenes
+        # edits in place; appending slots there invalidates the memo).
+        # Mip slots store only their VALID texel rows (flat row-offset
+        # addressing) so the mip chain costs +33% atlas bytes, not the +300%
+        # of padded slots -- keeping the table small enough for XLA's VMEM
+        # pin on the primary material fetch (a padded-slot chain measured a
+        # 70 ms/frame regression on v5e when the pin was lost).
         cache = getattr(self, "_quad_cache", None)
         if cache is None or cache[0] is not self.mat_tex:
-            cache = (self.mat_tex, quad_pack_atlas(self.mat_tex, self.mat_tex_hw))
+            mtex, mhw, mip_ids = extend_atlas_mips(self.mat_tex, self.mat_tex_hw)
+            quad = quad_pack_atlas(mtex, mhw)
+            flat_rows = []
+            off = np.zeros(mtex.shape[0] + 1, np.int64)
+            for i in range(mtex.shape[0]):
+                h, w = int(mhw[i, 0]), int(mhw[i, 1])
+                flat_rows.append(quad[i, :h, :w].reshape(h * w, quad.shape[-1]))
+                off[i + 1] = off[i] + h * w
+            assert off[-1] < (1 << 31), "atlas rows exceed int32 indexing"
+            cache = (
+                self.mat_tex,
+                np.concatenate(flat_rows, axis=0),
+                mhw,
+                mip_ids,
+                off[:-1].astype(np.int32),
+            )
             self._quad_cache = cache
         return {
             "tri_geom": tri_geom,
             "tri_fast": tri_fast,
             "mat_tex_quad": cache[1],
+            "mat_tex_mip_hw": cache[2],
+            "mat_tex_mip_ids": cache[3],
+            "mat_tex_row_off": cache[4],
             "tri_pos": self.tri_pos,
             "tri_nrm": self.tri_nrm,
             "tri_uv": self.tri_uv,
@@ -307,6 +331,44 @@ def _average_material_tables(mats, images, base, metal, rough, emis):
         np.clip(avg_metal, 0.0, 1.0).astype(np.float32),
         avg_emissive.astype(np.float32),
     )
+
+
+MIP_LEVELS = 4  # level 0 + 3 downsampled (512 -> 64 at the bench's atlas cap)
+
+
+def extend_atlas_mips(atlas: np.ndarray, hw: np.ndarray, levels: int = MIP_LEVELS):
+    """Append area-averaged mip slots to the material atlas.
+
+    The reference's raster G-buffer samples hardware mip chains
+    (deferred_gbuffers.hlsl:72-90, D3D12 GenerateMips-style storage-space
+    averaging); here each mip level is an extra atlas slot (same padded
+    extent, its own actual (h, w)) so per-pixel level selection is one small
+    id indirection before the usual quad-row gather.  Returns
+    (atlas' [A', AH, AW, C], hw' [A', 2], mip_ids [A, levels] i32); levels
+    past a slot's smallest representable size repeat the last one."""
+    a = atlas.shape[0]
+    mip_ids = np.zeros((a, levels), np.int32)
+    mip_ids[:, 0] = np.arange(a)
+    extra, extra_hw = [], []
+    for i in range(a):
+        h, w = int(hw[i, 0]), int(hw[i, 1])
+        img = atlas[i, :h, :w]
+        prev = i
+        for level in range(1, levels):
+            if min(h, w) >= 2:
+                h, w = max(h // 2, 1), max(w // 2, 1)
+                img = _resize_map(img, h, w)
+                slot = np.zeros(atlas.shape[1:], atlas.dtype)
+                slot[:h, :w] = img
+                extra.append(slot)
+                extra_hw.append((h, w))
+                prev = a + len(extra) - 1
+            mip_ids[i, level] = prev
+    if not extra:
+        return atlas, hw, mip_ids
+    atlas2 = np.concatenate([atlas, np.stack(extra)], axis=0)
+    hw2 = np.concatenate([hw, np.asarray(extra_hw, np.int32)], axis=0)
+    return atlas2, hw2, mip_ids
 
 
 def quad_pack_atlas(mat_tex: np.ndarray, mat_tex_hw: np.ndarray) -> np.ndarray:

@@ -101,12 +101,76 @@ def interpolate(attr, tri_id, u, v, xp):
     return a[..., 0, :] * w + a[..., 1, :] * u[..., None] + a[..., 2, :] * v[..., None]
 
 
-def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
+def _shift_img(img, dy: int, dx: int, xp):
+    """Clamp-to-edge shift of an image-shaped array (xp-generic)."""
+    h, w = img.shape[0], img.shape[1]
+    pad = [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))] + [(0, 0)] * (img.ndim - 2)
+    padded = xp.pad(img, pad, mode="edge")
+    return padded[max(-dy, 0) : max(-dy, 0) + h, max(-dx, 0) : max(-dx, 0) + w]
+
+
+def mip_level_from_uv(scene: dict, tri_id, u, v, height: int, width: int, xp=None):
+    """Per-pixel mip level for the primary pass from screen-space UV
+    derivatives -- the software analogue of the hardware ddx/ddy mip
+    selection the reference's raster G-buffer gets for free
+    (deferred_gbuffers.hlsl:72-90).  Forward differences on the row-major
+    pixel grid; a tap crossing a triangle boundary falls back to the other
+    direction (backward), else level 0.  Returns [H*W] int32 in
+    [0, n_levels).  Requires scene['mat_tex_mip_ids'] (core.scene mips)."""
+    xp = xp or _xp(u)
+    n_levels = int(scene["mat_tex_mip_ids"].shape[1])
+    t = xp.clip(tri_id, 0, scene["tri_pos"].shape[0] - 1)
+    if "tri_geom" in scene and scene["tri_geom"].shape[0] > 0:
+        # Same wide-row gather reconstruct_surface issues -- XLA CSEs the
+        # two into one fetch, so level selection costs no extra gather.
+        row = _take_rows(scene["tri_geom"], t, xp)
+        uv = _bary_packed(row[..., 18:24], u, v, 2, xp).reshape(height, width, 2)
+        aid = _f32_int(row[..., 38], xp)
+    else:
+        uv = interpolate(scene["tri_uv"], t, u, v, xp).reshape(height, width, 2)
+        aid = scene["mat_atlas_id"][scene["tri_mat"][t]]
+    tri_img = xp.asarray(tri_id).reshape(height, width)
+    hw = _stopgrad(scene["mat_tex_mip_hw"], xp)[aid].reshape(height, width, 2)
+    texel = xp.stack(
+        [hw[..., 1].astype(uv.dtype), hw[..., 0].astype(uv.dtype)], axis=-1
+    )  # (w, h) to scale (u, v)
+
+    def deriv(dy, dx):
+        d = _shift_img(uv, dy, dx, xp) - uv
+        same = _shift_img(tri_img, dy, dx, xp) == tri_img
+        fp = xp.abs(d * texel).max(axis=-1)
+        return xp.where(same, fp, -1.0)  # -1 = invalid tap
+
+    fx = deriv(0, -1)  # uv[x+1] - uv[x]
+    fx = xp.where(fx >= 0.0, fx, deriv(0, 1))
+    fy = deriv(-1, 0)
+    fy = xp.where(fy >= 0.0, fy, deriv(1, 0))
+    fp = xp.maximum(xp.maximum(fx, fy), 1.0)  # invalid (<0) -> level 0
+    level = xp.clip(xp.floor(xp.log2(fp)).astype(xp.int32), 0, n_levels - 1)
+    # No same-triangle tap in EITHER direction while every neighbor still
+    # hits geometry: the mesh is tessellated below a pixel, i.e. maximal
+    # minification (hardware ddx across such quads is equally huge) -- take
+    # the coarsest level.  Pixels bordering a miss (silhouettes) keep their
+    # derivative/0 level so magnified edges stay crisp.
+    interior = (
+        (_shift_img(tri_img, 0, -1, xp) >= 0)
+        & (_shift_img(tri_img, 0, 1, xp) >= 0)
+        & (_shift_img(tri_img, -1, 0, xp) >= 0)
+        & (_shift_img(tri_img, 1, 0, xp) >= 0)
+    )
+    no_tap = (fx < 0.0) & (fy < 0.0)
+    level = xp.where(no_tap & interior, n_levels - 1, level)
+    return level.reshape(-1)
+
+
+def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None, mip_level=None):
     """Shade-ready surface attributes at barycentric (u, v) on triangle tri_id.
 
     Returns a dict with: position, normal_g (geometric), normal_s (shaded,
     normal-mapped), uv, albedo (linear), roughness, metalness, emissive.
     ``tri_id`` entries may be invalid for missed rays; callers mask.
+    ``mip_level`` [N] int32 (mip_level_from_uv) selects atlas mip slots for
+    the texture fetch; None samples level 0.
     """
     xp = xp or _xp(u)
     t = xp.clip(tri_id, 0, scene["tri_pos"].shape[0] - 1)
@@ -160,8 +224,19 @@ def reconstruct_surface(scene: dict, tri_id, u, v, view_dir=None, xp=None):
         if "mat_tex_quad" in scene:
             from nebulae_tpu.core.texture import sample_bilinear_quad
 
+            hw_tbl = scene["mat_tex_hw"]
+            if "mat_tex_mip_ids" in scene:
+                # Mip-extended atlas: per-pixel level -> slot indirection
+                # (level 0 when the caller gave no levels); the hw table
+                # covers the mip slots too.
+                mip_ids = scene["mat_tex_mip_ids"]
+                if mip_level is not None:
+                    lv = xp.clip(mip_level, 0, mip_ids.shape[1] - 1)
+                    aid = mip_ids.reshape(-1)[aid * mip_ids.shape[1] + lv]
+                hw_tbl = scene["mat_tex_mip_hw"]
             px = sample_bilinear_quad(
-                _stopgrad(scene["mat_tex_quad"], xp), scene["mat_tex_hw"], aid, uv, xp
+                _stopgrad(scene["mat_tex_quad"], xp), hw_tbl, aid, uv, xp,
+                row_off=scene.get("mat_tex_row_off"),
             )
         else:
             px = sample_bilinear(

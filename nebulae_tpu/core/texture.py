@@ -36,15 +36,19 @@ def linear_to_srgb(c):
     return xp.where(c <= 0.0031308, lo, hi)
 
 
-def sample_bilinear_quad(quad_tex, tex_hw, tex_id, uv, xp=None):
+def sample_bilinear_quad(quad_tex, tex_hw, tex_id, uv, xp=None, row_off=None):
     """Bilinear sample from a quad-packed texture stack with ONE row gather.
 
-    quad_tex: [K, TH, TW, 4C] u8 where each texel row holds its 2x2
-    REPEAT-wrap neighborhood (core.scene.quad_pack_atlas); identical results
-    to `sample_bilinear` on the unpacked [K, TH, TW, C] stack, but a single
-    gather instead of four (gather cost is per row).  Returns [..., C] f32."""
+    quad_tex: either [K, TH, TW, 4C] u8 (padded slots) or [R, 4C] u8 flat
+    rows with `row_off` [K] i32 per-slot starting rows (tightly packed -- the
+    mip-chain layout, core.scene.device_arrays); each texel row holds its 2x2
+    REPEAT-wrap neighborhood (core.scene.quad_pack_atlas).  Identical results
+    to `sample_bilinear` on the unpacked stack, but a single gather instead
+    of four (gather cost is per row).  Returns [..., C] f32."""
     xp = xp or _xp(uv)
-    tid = xp.clip(tex_id, 0, max(int(quad_tex.shape[0]) - 1, 0))
+    flat_form = quad_tex.ndim == 2
+    n_slots = int(row_off.shape[0]) if flat_form else int(quad_tex.shape[0])
+    tid = xp.clip(tex_id, 0, max(n_slots - 1, 0))
     hw = tex_hw[tid]
     h = hw[..., 0].astype(xp.float32)
     w = hw[..., 1].astype(xp.float32)
@@ -63,12 +67,17 @@ def sample_bilinear_quad(quad_tex, tex_hw, tex_id, uv, xp=None):
     x0 = wrap(x0f.astype(xp.int32), hw[..., 1])
     y0 = wrap(y0f.astype(xp.int32), hw[..., 0])
 
-    k, th, tw, c4 = (int(s) for s in quad_tex.shape)
-    c = c4 // 4
-    flat = quad_tex.reshape(k * th * tw, c4)
-    idx = tid * (th * tw) + y0 * tw + x0
     shp = y0.shape
+    if flat_form:
+        c4 = int(quad_tex.shape[-1])
+        flat = quad_tex
+        idx = row_off[tid] + y0 * hw[..., 1] + x0
+    else:
+        k, th, tw, c4 = (int(s) for s in quad_tex.shape)
+        flat = quad_tex.reshape(k * th * tw, c4)
+        idx = tid * (th * tw) + y0 * tw + x0
     rows = xp.take(flat, idx.reshape(-1), axis=0).reshape(*shp, c4).astype(xp.float32) / 255.0
+    c = c4 // 4
     c00, c01, c10, c11 = rows[..., 0:c], rows[..., c : 2 * c], rows[..., 2 * c : 3 * c], rows[..., 3 * c :]
     top = c00 * (1.0 - fx) + c01 * fx
     bot = c10 * (1.0 - fx) + c11 * fx

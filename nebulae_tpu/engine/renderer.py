@@ -73,7 +73,8 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     o, d = camera_rays_jax(cam, w, h)
     from nebulae_tpu.passes.gbuffer import blocked_closest
 
-    gbuf = render_gbuffer(scene, blocked_closest(closest_fn, h, w), o, d)
+    mips_hw = (h, w) if cfg.texture_mips else None
+    gbuf = render_gbuffer(scene, blocked_closest(closest_fn, h, w), o, d, image_hw=mips_hw)
 
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.uint32), jnp.arange(w, dtype=jnp.uint32), indexing="ij")
     rng_state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, state["frame"])
@@ -106,7 +107,9 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
             rng_state, jx = nrng.next_float(rng_state)
             rng_state, jy = nrng.next_float(rng_state)
             o_j, d_j = camera_rays_jax(cam, w, h, jitter=jnp.stack([jx, jy], -1))
-            sample_gbuf = render_gbuffer(scene, blocked_closest(closest_fn, h, w), o_j, d_j)
+            sample_gbuf = render_gbuffer(
+                scene, blocked_closest(closest_fn, h, w), o_j, d_j, image_hw=mips_hw
+            )
         if cfg.enable_gi and cfg.enable_nrc:
             from nebulae_tpu.passes.nrc_pathtrace import path_trace_nrc_query
 

@@ -110,11 +110,29 @@ def blocked_closest(closest_fn, height: int, width: int):
     return fn
 
 
-def render_gbuffer(scene: dict, closest_fn, o, d):
-    """Trace primary rays -> G-buffer dict (flat [N, ...] layout)."""
+def render_gbuffer(scene: dict, closest_fn, o, d, image_hw=None):
+    """Trace primary rays -> G-buffer dict (flat [N, ...] layout).
+
+    `image_hw` (h, w) enables per-pixel texture mip selection from
+    screen-space UV derivatives (core.surface.mip_level_from_uv) -- the
+    software analogue of the raster G-buffer's hardware mips
+    (deferred_gbuffers.hlsl:72-90).  Requires row-major rays."""
     hit = detach(closest_fn(jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)))
     valid = hit["tri"] >= 0
-    surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=jnp)
+    mip = None
+    if (
+        image_hw is not None
+        and "mat_tex_mip_ids" in scene
+        and scene["textures"].shape[0] > 0
+    ):
+        from nebulae_tpu.core.surface import mip_level_from_uv
+
+        mip = mip_level_from_uv(
+            scene, hit["tri"], hit["u"], hit["v"], image_hw[0], image_hw[1], xp=jnp
+        )
+    surf = reconstruct_surface(
+        scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=jnp, mip_level=mip
+    )
     zero3 = jnp.zeros_like(surf["position"])
     vm = valid[..., None]
     return {

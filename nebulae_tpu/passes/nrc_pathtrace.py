@@ -204,7 +204,10 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     rng_state, jx = nrng.next_float(rng_state)
     rng_state, jy = nrng.next_float(rng_state)
     o, d = camera_rays_jax(cam, tw, th, jitter=jnp.stack([jx, jy], -1))
-    gbuf = render_gbuffer(scene, blocked_closest(closest_fn, th, tw), o, d)
+    gbuf = render_gbuffer(
+        scene, blocked_closest(closest_fn, th, tw), o, d,
+        image_hw=(th, tw) if cfg.texture_mips else None,
+    )
 
     k_verts = cfg.nrc_max_path_vertices
     surf0 = {k: gbuf[k] for k in SURF_KEYS}

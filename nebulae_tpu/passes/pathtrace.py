@@ -125,13 +125,20 @@ def _reconstruct(scene, hit, origin, new_d, cfg):
     return reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-new_d, xp=jnp)
 
 
-def _use_compact_reconstruct(scene, cfg):
-    return (
-        cfg.sort_rays
-        and cfg.fast_bounce_shading
-        and "tri_fast" in scene
-        and scene["tri_fast"].shape[0] > 0
+def _compact_reconstruct_mode(scene, cfg):
+    """'fast' | 'full' | None: which compact-domain reconstruct applies."""
+    if not cfg.sort_rays:
+        return None
+    if cfg.fast_bounce_shading:
+        if "tri_fast" in scene and scene["tri_fast"].shape[0] > 0:
+            return "fast"
+        return None
+    packed = "tri_geom" in scene and scene["tri_geom"].shape[0] > 0
+    has_tex = scene["textures"].shape[0] > 0
+    quad_ok = (not has_tex) or (
+        "mat_tex_quad" in scene and "mat_tex" in scene and scene["mat_tex"].shape[0] > 0
     )
+    return "full" if (packed and quad_ok) else None
 
 
 def _fast_shading_compact_post(scene):
@@ -166,14 +173,88 @@ def _fast_shading_compact_post(scene):
     return post, fills
 
 
+def _full_shading_compact_post(scene):
+    """compact_post for FULL-shading bounces: the whole ReconstructSurfaceData
+    (pathtracer.hlsl:299-395 -- wide geometry row, bilinear material atlas
+    fetch, normal-map TBN) runs in the compacted sorted domain, so the
+    [N, 39] tri_geom row gather AND the per-hit texture fetch scale with the
+    live count instead of full width per bounce.  Texture terms ride the
+    unsort DETACHED and separate from the differentiable material factors,
+    which multiply back in full width (nee_bounce_step) -- gradient flow to
+    mat_base_color/roughness/metallic/emissive is identical to the
+    full-width reconstruct_surface (textures are stop-gradiented there too).
+    Math mirrors core.surface.reconstruct_surface's packed+quad-atlas path."""
+    from nebulae_tpu.core.scene import MAT_HAS_NORMAL_TEX
+    from nebulae_tpu.core.surface import _bary_packed, _f32_int, _take_rows
+    from nebulae_tpu.core.texture import sample_bilinear_quad, srgb_to_linear
+
+    has_tex = scene["textures"].shape[0] > 0
+
+    def post(hit, os, bs):
+        tid = jnp.clip(hit["tri"], 0, scene["tri_pos"].shape[0] - 1)
+        row = _take_rows(scene["tri_geom"], tid, jnp)
+        u, v = hit["u"], hit["v"]
+        v0, e1, e2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        pos = v0 + u[..., None] * e1 + v[..., None] * e2
+        nrm = nmath.normalize(_bary_packed(row[..., 9:18], u, v, 3, jnp))
+        ng = nmath.normalize(nmath.cross(e1, e2))
+        ng = ng * jnp.where(nmath.dot(ng, nrm) < 0.0, -1.0, 1.0)
+        out = {
+            "mat": jnp.where(hit["tri"] >= 0, row[..., 36], -1.0),
+            "px": pos[..., 0], "py": pos[..., 1], "pz": pos[..., 2],
+        }
+        if has_tex:
+            uv = _bary_packed(row[..., 18:24], u, v, 2, jnp)
+            tan4 = _bary_packed(row[..., 24:36], u, v, 4, jnp)
+            flags = _f32_int(row[..., 37], jnp)
+            atlas_id = _f32_int(row[..., 38], jnp)
+            px = sample_bilinear_quad(
+                scene["mat_tex_quad"],
+                scene.get("mat_tex_mip_hw", scene["mat_tex_hw"]),
+                atlas_id, uv, jnp,
+                row_off=scene.get("mat_tex_row_off"),
+            )
+            ta = srgb_to_linear(px[..., 0:3])
+            te = srgb_to_linear(px[..., 8:11])
+            has_nm = (flags & MAT_HAS_NORMAL_TEX) != 0
+            tn = px[..., 5:8] * 2.0 - 1.0
+            tangent = nmath.normalize(tan4[..., :3] - nrm * nmath.dot(tan4[..., :3], nrm))
+            bitangent = nmath.cross(nrm, tangent) * tan4[..., 3:4]
+            mapped = nmath.normalize(
+                tn[..., 0:1] * tangent + tn[..., 1:2] * bitangent + tn[..., 2:3] * nrm
+            )
+            ns = jnp.where(has_nm[..., None], mapped, nrm)
+            out.update({
+                "tax": ta[..., 0], "tay": ta[..., 1], "taz": ta[..., 2],
+                "tr": px[..., 3], "tm": px[..., 4],
+                "tex": te[..., 0], "tey": te[..., 1], "tez": te[..., 2],
+            })
+        else:
+            ns = nrm
+        view = -bs
+        flip = jnp.where(nmath.dot(ns, view) < 0.0, -1.0, 1.0)
+        ns = ns * flip
+        ng = ng * flip
+        out.update({
+            "nsx": ns[..., 0], "nsy": ns[..., 1], "nsz": ns[..., 2],
+            "ngx": ng[..., 0], "ngy": ng[..., 1], "ngz": ng[..., 2],
+        })
+        return jax.lax.stop_gradient(out)
+
+    fills = {"nsz": 1.0, "ngz": 1.0, "tax": 1.0, "tay": 1.0, "taz": 1.0,
+             "tr": 1.0, "tm": 1.0, "tex": 0.0, "tey": 0.0, "tez": 0.0}
+    return post, fills
+
+
 def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
     """One path vertex's traces + next-vertex surface reconstruction.
 
     Returns (vis [N], found [N] bool, hit_t [N], surf dict).  With ray
-    sorting + fast bounce shading the shading attributes are reconstructed
-    in the compacted sorted domain (see _fast_shading_compact_post); other
+    sorting the shading attributes are reconstructed in the compacted sorted
+    domain (_fast_shading_compact_post / _full_shading_compact_post); other
     configurations trace then reconstruct full-width."""
-    if _use_compact_reconstruct(scene, cfg):
+    mode = _compact_reconstruct_mode(scene, cfg)
+    if mode is not None:
         origin = jax.lax.stop_gradient(pre["origin"])
         l = jax.lax.stop_gradient(pre["l"])
         b = jax.lax.stop_gradient(pre["new_d"])
@@ -182,7 +263,11 @@ def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             origin, b, scene["aabb_min"], scene["aabb_max"], participate,
             low_bits=pre["shoot"].astype(jnp.int32) + 2 * alive_bounce.astype(jnp.int32),
         )
-        post, fills = _fast_shading_compact_post(scene)
+        post, fills = (
+            _fast_shading_compact_post(scene)
+            if mode == "fast"
+            else _full_shading_compact_post(scene)
+        )
         occ, hit = sorted_shadow_closest(
             any_fn, closest_fn, origin, l, b, key,
             combo_fn=getattr(closest_fn, "combo", None),
@@ -190,26 +275,50 @@ def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             compact_post=post, post_fills=fills,
         )
         vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
-        mat = hit["mat"]
-        tcl = jnp.clip(hit["t"], 0.0, 1e30)
-        ns = jnp.stack([hit["nsx"], hit["nsy"], hit["nsz"]], axis=-1)
-        ng = jnp.stack([hit["ngx"], hit["ngy"], hit["ngz"]], axis=-1)
         from nebulae_tpu.core.surface import fetch_rows
 
-        m = jnp.clip(mat, 0, scene["mat_avg_albedo"].shape[0] - 1)
-        albedo = fetch_rows(scene["mat_avg_albedo"], m, jnp)
-        rough = fetch_rows(scene["mat_avg_rough"][:, None], m, jnp)[..., 0]
-        metal = fetch_rows(scene["mat_avg_metal"][:, None], m, jnp)[..., 0]
-        emissive = fetch_rows(scene["mat_avg_emissive"], m, jnp)
-        surf = {
-            "position": pre["origin"] + tcl[..., None] * pre["new_d"],
-            "normal_g": ng,
-            "normal_s": ns,
-            "albedo": albedo,
-            "roughness": jnp.clip(rough, 0.02, 1.0),
-            "metalness": jnp.clip(metal, 0.0, 1.0),
-            "emissive": emissive,
-        }
+        mat = hit["mat"]
+        m = jnp.clip(mat, 0, scene["mat_base_color"].shape[0] - 1)
+        ns = jnp.stack([hit["nsx"], hit["nsy"], hit["nsz"]], axis=-1)
+        ng = jnp.stack([hit["ngx"], hit["ngy"], hit["ngz"]], axis=-1)
+        if mode == "fast":
+            tcl = jnp.clip(hit["t"], 0.0, 1e30)
+            surf = {
+                "position": pre["origin"] + tcl[..., None] * pre["new_d"],
+                "normal_g": ng,
+                "normal_s": ns,
+                "albedo": fetch_rows(scene["mat_avg_albedo"], m, jnp),
+                "roughness": jnp.clip(
+                    fetch_rows(scene["mat_avg_rough"][:, None], m, jnp)[..., 0], 0.02, 1.0
+                ),
+                "metalness": jnp.clip(
+                    fetch_rows(scene["mat_avg_metal"][:, None], m, jnp)[..., 0], 0.0, 1.0
+                ),
+                "emissive": fetch_rows(scene["mat_avg_emissive"], m, jnp),
+            }
+        else:
+            # Differentiable material factors multiply the detached texture
+            # terms full-width -- gradient flow identical to the full-width
+            # reconstruct_surface (textures stop-gradiented there too).
+            base = fetch_rows(scene["mat_base_color"], m, jnp)
+            rough = fetch_rows(scene["mat_roughness"][:, None], m, jnp)[..., 0]
+            metal = fetch_rows(scene["mat_metallic"][:, None], m, jnp)[..., 0]
+            emissive = fetch_rows(scene["mat_emissive"], m, jnp)
+            albedo = base[..., :3]
+            if "tax" in hit:
+                albedo = albedo * jnp.stack([hit["tax"], hit["tay"], hit["taz"]], -1)
+                rough = rough * hit["tr"]
+                metal = metal * hit["tm"]
+                emissive = emissive * jnp.stack([hit["tex"], hit["tey"], hit["tez"]], -1)
+            surf = {
+                "position": jnp.stack([hit["px"], hit["py"], hit["pz"]], axis=-1),
+                "normal_g": ng,
+                "normal_s": ns,
+                "albedo": albedo,
+                "roughness": jnp.clip(rough, 0.02, 1.0),
+                "metalness": jnp.clip(metal, 0.0, 1.0),
+                "emissive": emissive,
+            }
         return vis, hit["found"], hit["t"], surf
     vis, hit = nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg)
     surf_full = _reconstruct(scene, hit, pre["origin"], pre["new_d"], cfg)

@@ -113,13 +113,23 @@ def intersect_any_np(o, d, tri_pos, t_max=np.inf, chunk=4_000_000):
 # ---------------------------------------------------------------------------
 
 
-def render_gbuffer_np(scene: dict, camera: Camera, width: int, height: int, jitter=None):
+def render_gbuffer_np(scene: dict, camera: Camera, width: int, height: int, jitter=None,
+                      texture_mips: bool = False):
     """Primary-visibility G-buffer: same four targets as the reference's
-    raster pass (deferred_gbuffers.hlsl:94-103) plus depth + hit mask."""
+    raster pass (deferred_gbuffers.hlsl:94-103) plus depth + hit mask.
+    `texture_mips` mirrors the jax pass's UV-derivative mip selection
+    (core.surface.mip_level_from_uv, xp-generic -> identical levels)."""
     o, d = camera_rays(camera, width, height, np, jitter=jitter)
     hit = intersect_closest_np(o, d, scene["tri_pos"])
     valid = hit["tri"] >= 0
-    surf = reconstruct_surface(scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=np)
+    mip = None
+    if texture_mips and "mat_tex_mip_ids" in scene and scene["textures"].shape[0] > 0:
+        from nebulae_tpu.core.surface import mip_level_from_uv
+
+        mip = mip_level_from_uv(scene, hit["tri"], hit["u"], hit["v"], height, width, xp=np)
+    surf = reconstruct_surface(
+        scene, hit["tri"], hit["u"], hit["v"], view_dir=-d, xp=np, mip_level=mip
+    )
     return {
         "hit": valid,
         "depth": np.where(valid, hit["t"], np.inf).astype(np.float32),
@@ -162,7 +172,7 @@ def render_direct_np(scene, camera, cfg, sun, frame=0):
 
     Misses show the sky. Returns HDR image [H, W, 3]."""
     w, h = cfg.width, cfg.height
-    gbuf = render_gbuffer_np(scene, camera, w, h)
+    gbuf = render_gbuffer_np(scene, camera, w, h, texture_mips=cfg.texture_mips)
     xs, ys = np.meshgrid(np.arange(w, dtype=np.uint32), np.arange(h, dtype=np.uint32))
     state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, frame)
     direct, state = shade_direct_np(scene, gbuf, sun, state)
@@ -176,7 +186,7 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
     indirect bounces (pathtracer.hlsl:397-625's algorithm, query mode without
     the cache).  Returns HDR radiance [H, W, 3] (direct + indirect)."""
     w, h = cfg.width, cfg.height
-    gbuf = render_gbuffer_np(scene, camera, w, h)
+    gbuf = render_gbuffer_np(scene, camera, w, h, texture_mips=cfg.texture_mips)
     n_pix = w * h
     xs, ys = np.meshgrid(np.arange(w, dtype=np.uint32), np.arange(h, dtype=np.uint32))
     state = nrng.init_rng(xs.reshape(-1), ys.reshape(-1), w, frame)
@@ -193,7 +203,8 @@ def path_trace_np(scene, camera, cfg, sun, frame=0):
             state, jx = nrng.next_float(state)
             state, jy = nrng.next_float(state)
             sample_gbuf = render_gbuffer_np(
-                scene, camera, w, h, jitter=np.stack([jx, jy], -1)
+                scene, camera, w, h, jitter=np.stack([jx, jy], -1),
+                texture_mips=cfg.texture_mips,
             )
             sky_s = brdf.sky_eval(sample_gbuf["ray_d"], sun, scene, cfg, np)
             acc += np.where(sample_gbuf["hit"][..., None], 0.0, sky_s)
