@@ -66,6 +66,60 @@ def test_buckets_agree_with_uncompacted(setup, n_live):
     assert np.isinf(np.asarray(hit_c["t"])[dead]).all()
 
 
+@pytest.mark.parametrize("n_live", [700, 3000, 30000])
+def test_compact_post_buckets_agree(setup, n_live):
+    """The compact-domain reconstruct channels (compact_post) must come back
+    in ray order identically across every bucket/unsort strategy, and match
+    a direct full-width computation from the uncompacted hit."""
+    from nebulae_tpu.core.surface import _bary_packed, _take_rows
+    from nebulae_tpu.core import math as nmath
+
+    scene, closest_fn, any_fn, o, d, l = setup
+    alive = jnp.roll(jnp.arange(N) < n_live, 123)
+    key = ray_sort_key(
+        o, d, scene["aabb_min"], scene["aabb_max"], alive,
+        low_bits=alive.astype(jnp.int32) + 2 * alive.astype(jnp.int32),
+    )
+
+    def post(hit, os, bs):
+        tid = jnp.clip(hit["tri"], 0, scene["tri_pos"].shape[0] - 1)
+        row = _take_rows(scene["tri_fast"], tid, jnp)
+        nrm = nmath.normalize(_bary_packed(row[..., 0:9], hit["u"], hit["v"], 3, jnp))
+        return {
+            "mat": jnp.where(hit["tri"] >= 0, row[..., 12], -1.0),
+            "nx": nrm[..., 0], "ny": nrm[..., 1], "nz": nrm[..., 2],
+        }
+
+    fills = {"nz": 1.0}
+    occ_c, hit_c = sorted_shadow_closest(
+        any_fn, closest_fn, o, l, d, key, compact_post=post, post_fills=fills
+    )
+    occ_f, hit_f = sorted_shadow_closest(
+        any_fn, closest_fn, o, l, d, key, compact_post=post, post_fills=fills,
+        compact=False,
+    )
+    # Ground truth: uncompacted hit + the same reconstruction full-width.
+    occ_r, hit_r = sorted_shadow_closest(any_fn, closest_fn, o, l, d, key, compact=False)
+    truth = post(hit_r, o, d)
+
+    live = np.asarray(alive)
+    for hit in (hit_c, hit_f):
+        np.testing.assert_array_equal(np.asarray(hit["found"])[live], np.asarray(hit_r["tri"])[live] >= 0)
+        np.testing.assert_array_equal(
+            np.asarray(hit["mat"])[live],
+            np.round(np.asarray(truth["mat"]))[live].astype(np.int32),
+        )
+        for k in ("nx", "ny", "nz"):
+            np.testing.assert_allclose(
+                np.asarray(hit[k])[live], np.asarray(truth[k])[live],
+                rtol=1e-5, atol=1e-6, err_msg=f"{k} differs (bucket vs truth)",
+            )
+        # dead lanes carry the fills / miss record
+        dead = ~live
+        assert (np.asarray(hit["mat"])[dead] == -1).all()
+        assert np.isinf(np.asarray(hit["t"])[dead]).all()
+
+
 @pytest.mark.parametrize("n_live", [700, 30000])
 def test_sorted_any_buckets(setup, n_live):
     scene, closest_fn, any_fn, o, d, l = setup
