@@ -64,6 +64,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "learnIrradiance demodulated protocol")
     p.add_argument("--bvh-wide", type=int, default=4, choices=[2, 4],
                    help="fat traversal table width (children vs grandchildren per visit)")
+    p.add_argument("--chunk-mode", default="auto",
+                   choices=["auto", "subtree", "paged", "tri"],
+                   help="large-scene traversal strategy past the VMEM-resident "
+                        "table budget (auto picks; paged = HBM-streamed tris, "
+                        "refittable at any size)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
@@ -191,6 +196,7 @@ def main(argv=None) -> int:
         texture_mips=not args.no_texture_mips,
         nrc_learn_irradiance=not args.nrc_raw_radiance,
         bvh_wide=args.bvh_wide,
+        chunk_mode=args.chunk_mode,
     )
 
     def _vec3(s):

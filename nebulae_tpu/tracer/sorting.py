@@ -24,6 +24,12 @@ import jax.numpy as jnp
 DEAD_ORIGIN = 1.0e14  # far outside any scene AABB: root slab test misses
 DEAD_KEY = 0x7FFFFFFF  # sort key for non-participating lanes (clusters at tail)
 
+import os as _os
+
+# Debug: fixed compaction bucket n/k, bypassing the live-count lax.switch
+# (see sorted_shadow_closest) -- for measuring conditional overhead.
+_FIXED_BUCKET = int(_os.environ.get("NEB_FIXED_BUCKET", "0"))
+
 # Live-lane compaction: after the sort, participating lanes form a prefix, so
 # the traversal runs on the smallest static slice that covers them (XLA needs
 # static shapes -> a lax.switch over a few power-of-4 bucket sizes) and the
@@ -287,7 +293,13 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
         return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
     sizes = _bucket_sizes(n) if compact else [n]
-    if len(sizes) > 1:
+    if _FIXED_BUCKET and compact:
+        # Debug/microbench knob (NEB_FIXED_BUCKET=k): skip the live-count
+        # switch and always dispatch the n/k bucket.  NOT exact unless the
+        # live count stays under n/k -- for isolating the data-dependent
+        # conditional's overhead from its branches' work.
+        outs = run(min(max(-(-n // _FIXED_BUCKET), 1024), n))
+    elif len(sizes) > 1:
         n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
         sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
         outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
