@@ -121,6 +121,15 @@ class RenderConfig:
     # Sort bounce rays by (octant, origin-morton) before traversal -- restores
     # packet coherence for diffuse bounces (tracer/sorting.py)
     sort_rays: bool = True
+    # Segment-local sorting/compaction: sorts, compaction gathers, and
+    # unsorts run within N/sort_segments-lane segments instead of globally.
+    # With segments aligned to a row-sharded device mesh (dist.runner sets
+    # sort_segments = mesh size) the whole per-bounce block partitions
+    # SHARD-LOCALLY -- no wavefront all-gathers (the scaling hazard
+    # dist/stats.py detects for global sorts).  1 = global (single-chip
+    # default; the shared per-segment bucket covers the busiest segment, so
+    # imbalanced liveness wastes tiles when segmented).
+    sort_segments: int = 1
     # Secondary bounces shade with face normals + texture-averaged material
     # values (no per-hit texture fetches) -- large speedup, tiny GI bias
     fast_bounce_shading: bool = False

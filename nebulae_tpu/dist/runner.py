@@ -43,6 +43,14 @@ class DistRenderer(Renderer):
                 f"height {cfg.height} must divide the {n}-device mesh "
                 "(row-sharded image)"
             )
+        if cfg.sort_rays and cfg.sort_segments == 1:
+            # Shard-local sorting/compaction: align ray-sort segments with
+            # the mesh so the per-bounce sorts, compaction gathers, and
+            # unsorts partition locally instead of all-gathering the
+            # wavefront (tracer.sorting._sorted_shadow_closest_seg).
+            from dataclasses import replace
+
+            cfg = replace(cfg, sort_segments=n)
         super().__init__(flat_scene, cfg, sun=sun, bvh=bvh)
         # Commit the big replicated operands once (scene tables + BVH); the
         # per-frame jit then reuses the placement instead of re-transferring.

@@ -102,6 +102,7 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             any_fn, closest_fn, origin, l, b, key,
             combo_fn=getattr(closest_fn, "combo", None),
             num_tris=scene["tri_pos"].shape[0],
+            segments=cfg.sort_segments,
         )
         hit = detach(hit)
     else:
@@ -273,6 +274,7 @@ def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             combo_fn=getattr(closest_fn, "combo", None),
             num_tris=scene["tri_pos"].shape[0],
             compact_post=post, post_fills=fills,
+            segments=cfg.sort_segments,
         )
         vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
         from nebulae_tpu.core.surface import fetch_rows
@@ -343,7 +345,7 @@ def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
     l_sh = jax.lax.stop_gradient(l)
     if sort:
         key = ray_sort_key(origin_sh, l_sh, scene["aabb_min"], scene["aabb_max"], shoot)
-        occ = sorted_any(any_fn, origin_sh, l_sh, key)
+        occ = sorted_any(any_fn, origin_sh, l_sh, key, segments=cfg.sort_segments)
     else:
         occ = any_fn(origin_sh, l_sh)
     vis = jnp.where(shoot & ~occ, 1.0, 0.0)

@@ -102,15 +102,70 @@ def ray_sort_key(o, d, aabb_min, aabb_max, alive=None, low_bits=None):
 _MISS_FILL = {"t": jnp.inf, "tri": -1, "u": 0.0, "v": 0.0, "occ": 0}
 
 
-def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: bool = True):
+def _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, S: int):
+    """Segment-local sorted_trace (see _sorted_shadow_closest_seg)."""
+    n = o.shape[0]
+    m = n // S
+    key2 = key.reshape(S, m)
+    idx2 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (S, m))
+    key_s, perm = jax.lax.sort((key2, idx2), dimension=1, num_keys=2)
+    rows = jnp.concatenate([o, d], axis=-1).reshape(S, m, 6)
+
+    def run(nb: int):
+        if nb == m:
+            comps = [x.reshape(S, m) for x in
+                     (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])]
+            srt = jax.lax.sort((key2, idx2, *comps), dimension=1, num_keys=2)
+            os = jnp.stack(srt[2:5], axis=-1).reshape(n, 3)
+            ds = jnp.stack(srt[5:8], axis=-1).reshape(n, 3)
+        else:
+            r = jnp.take_along_axis(rows, perm[:, :nb, None], axis=1).reshape(S * nb, 6)
+            os, ds = r[:, 0:3], r[:, 3:6]
+        hit = trace_fn(os, ds)
+        if _scatter_unsort(S * nb, n):
+            return tuple(
+                jnp.full((S, m), _MISS_FILL.get(name, 0), hit[name].dtype)
+                .at[jnp.arange(S, dtype=jnp.int32)[:, None], perm[:, :nb]]
+                .set(hit[name].reshape(S, nb), mode="drop", unique_indices=True)
+                .reshape(n)
+                for name in extra_outputs
+            )
+        padded = tuple(
+            jnp.pad(
+                hit[name].reshape(S, nb), ((0, 0), (0, m - nb)),
+                constant_values=_MISS_FILL.get(name, 0),
+            )
+            if nb != m
+            else hit[name].reshape(S, m)
+            for name in extra_outputs
+        )
+        srt = jax.lax.sort((perm, *padded), dimension=1, num_keys=1)[1:]
+        return tuple(x.reshape(n) for x in srt)
+
+    sizes = _bucket_sizes(m) if compact else [m]
+    if len(sizes) > 1:
+        live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
+        n_live = live_per_seg.max()
+        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+    else:
+        outs = run(m)
+    return dict(zip(extra_outputs, outs))
+
+
+def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: bool = True,
+                 segments: int = 1):
     """Run trace_fn on rays sorted by `key`, return hits in original order.
 
     trace_fn(o, d) -> dict with [N]-shaped float/int arrays named in
     extra_outputs.  Sorting rides lax.sort operands both ways (no gathers).
     With `compact`, the trace runs on the live-lane prefix only (see
-    COMPACT_FRACTIONS); dead-key lanes get miss records.
+    COMPACT_FRACTIONS); dead-key lanes get miss records.  `segments` > 1 =
+    segment-local sort/compact/unsort (shard-alignable).
     """
     n = o.shape[0]
+    if segments > 1 and n % segments == 0 and n // segments >= 2:
+        return _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, int(segments))
     idx = jnp.arange(n, dtype=jnp.int32)
     # Narrow sort + prefix row gather (see sorted_shadow_closest).  Both
     # sorts key on (key, idx) so their total order is identical (idx is
@@ -162,17 +217,133 @@ def sorted_closest(closest_fn, o, d, key):
     return out
 
 
-def sorted_any(any_fn, o, d, key):
+def sorted_any(any_fn, o, d, key, segments: int = 1):
     def fn(os, ds):
         return {"occ": any_fn(os, ds).astype(jnp.int32)}
 
-    out = sorted_trace(fn, o, d, key, ("occ",))
+    out = sorted_trace(fn, o, d, key, ("occ",), segments=segments)
     return out["occ"] > 0
+
+
+def _sorted_shadow_closest_seg(any_fn, closest_fn, o, l, b, key, S: int,
+                               combo_fn, compact, scatter_ok, compact_post,
+                               post_fills):
+    """Segment-local variant of sorted_shadow_closest: rays sort/compact/
+    unsort within S independent contiguous segments ([S, N/S] operations
+    along axis 1 only).
+
+    With segments aligned to a row-sharded device mesh (segments == shards,
+    dist.runner), every sort, compaction gather, and unsort partitions
+    SHARD-LOCALLY -- the XLA SPMD partitioner keeps batch-dim-sharded sorts
+    and batched gathers/scatters on-device, so the wavefront stops riding
+    all-gathers (the scaling hazard dist/stats.py detects for the global
+    sort).  The only cross-shard traffic is the scalar max of per-segment
+    live counts choosing the shared static bucket.
+
+    Exactness: identical per-ray results to the global sort (traversal is
+    per-lane exact regardless of packet composition; compaction only skips
+    dead lanes).  Efficiency: the shared bucket covers the BUSIEST segment,
+    so liveness imbalance across segments wastes some tiles -- single-chip
+    runs keep segments=1."""
+    n = o.shape[0]
+    m = n // S
+    post_names: tuple = ()
+    if compact_post is not None:
+        post_fills = dict(post_fills or {})
+    key2 = key.reshape(S, m)
+    idx2 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (S, m))
+    key_s, perm = jax.lax.sort((key2, idx2), dimension=1, num_keys=2)
+    rows = jnp.concatenate([o, l, b], axis=-1).reshape(S, m, 9)
+    participate_s = key_s != jnp.int32(DEAD_KEY)
+    shoot_s = ((key_s & 1) > 0) & participate_s
+    alive_s = ((key_s & 2) > 0) & participate_s
+
+    def run(nb: int):
+        if nb == m:
+            comps = [x.reshape(S, m) for x in
+                     (o[:, 0], o[:, 1], o[:, 2], l[:, 0], l[:, 1], l[:, 2],
+                      b[:, 0], b[:, 1], b[:, 2])]
+            srt = jax.lax.sort((key2, idx2, *comps), dimension=1, num_keys=2)
+            os = jnp.stack(srt[2:5], axis=-1).reshape(n, 3)
+            ls = jnp.stack(srt[5:8], axis=-1).reshape(n, 3)
+            bs = jnp.stack(srt[8:11], axis=-1).reshape(n, 3)
+        else:
+            r = jnp.take_along_axis(rows, perm[:, :nb, None], axis=1)
+            r = r.reshape(S * nb, 9)
+            os, ls, bs = r[:, 0:3], r[:, 3:6], r[:, 6:9]
+        alive_f = alive_s[:, :nb].reshape(-1)
+        shoot_f = shoot_s[:, :nb].reshape(-1)
+        t_b = jnp.where(alive_f, jnp.inf, 0.0)
+        t_l = jnp.where(shoot_f, jnp.inf, 0.0)
+        if combo_fn is not None:
+            hit, occ_b = combo_fn(os, bs, ls, t_b, t_l)
+            occ = occ_b.astype(jnp.int32)
+        else:
+            o_shadow = jnp.where(shoot_f[:, None], os, DEAD_ORIGIN)
+            o_bounce = jnp.where(alive_f[:, None], os, DEAD_ORIGIN)
+            occ = any_fn(o_shadow, ls).astype(jnp.int32)
+            hit = closest_fn(o_bounce, bs)
+        if compact_post is not None:
+            extras = compact_post(hit, os, bs)
+            nonlocal post_names
+            post_names = tuple(sorted(extras))
+            id_occ = (jnp.round(extras.pop("mat")).astype(jnp.int32) + 1) * 2 + occ
+            chans = [("id_occ", id_occ, 0.0), ("t", hit["t"], jnp.inf)]
+            chans += [(k, extras[k], float(post_fills.get(k, 0.0)))
+                      for k in post_names if k != "mat"]
+        else:
+            id_occ = (hit["tri"] + 1) * 2 + occ
+            chans = [("id_occ", id_occ, 0.0),
+                     ("t", hit["t"], jnp.inf),
+                     ("u", hit["u"], 0.0), ("v", hit["v"], 0.0)]
+        if scatter_ok and _scatter_unsort(S * nb, n):
+            live_rows = jnp.stack(
+                [c.astype(jnp.float32) for _, c, _ in chans], axis=-1
+            ).reshape(S, nb, len(chans))
+            base = jnp.tile(
+                jnp.asarray([f for _, _, f in chans], jnp.float32), (S, m, 1)
+            )
+            out = base.at[
+                jnp.arange(S, dtype=jnp.int32)[:, None], perm[:, :nb]
+            ].set(live_rows, mode="drop", unique_indices=True)
+            out = out.reshape(n, len(chans))
+            return (out[:, 0].astype(jnp.int32),) + tuple(
+                out[:, i] for i in range(1, len(chans))
+            )
+        padded = tuple(
+            jnp.pad(c.reshape(S, nb), ((0, 0), (0, m - nb)), constant_values=f)
+            if nb != m
+            else c.reshape(S, m)
+            for _, c, f in chans
+        )
+        srt = jax.lax.sort((perm, *padded), dimension=1, num_keys=1)[1:]
+        return tuple(x.reshape(n) for x in srt)
+
+    sizes = _bucket_sizes(m) if compact else [m]
+    if len(sizes) > 1:
+        # Shared static bucket = the busiest segment's live count (a scalar
+        # max-reduce -- the only cross-segment communication).
+        live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
+        n_live = live_per_seg.max()
+        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+    else:
+        outs = run(m)
+    id_occ, t = outs[0], outs[1]
+    occluded = (id_occ & 1) > 0
+    ids = (id_occ >> 1) - 1
+    if compact_post is not None:
+        hit = {"t": t, "mat": ids, "found": ids >= 0}
+        names = [k for k in post_names if k != "mat"]
+        hit.update({k: v for k, v in zip(names, outs[2:])})
+        return occluded, hit
+    return occluded, {"t": t, "tri": ids, "u": outs[2], "v": outs[3]}
 
 
 def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
                           compact: bool = True, num_tris: int | None = None,
-                          compact_post=None, post_fills: dict | None = None):
+                          compact_post=None, post_fills: dict | None = None,
+                          segments: int = 1):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -208,9 +379,20 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     fill (default 0).  Post channels are treated as non-differentiable
     (callers detach their inputs).
 
+    `segments` > 1 routes to the segment-local variant (sorting/compaction/
+    unsort within N/segments-lane segments; shard-aligned segments make the
+    whole block partition locally on a device mesh -- see
+    _sorted_shadow_closest_seg).  Must divide N; 1 = global (single-chip
+    default).
+
     Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     scatter_ok = num_tris is None or (num_tris + 1) * 2 + 1 < (1 << 24)
+    if segments > 1 and n % segments == 0 and n // segments >= 2:
+        return _sorted_shadow_closest_seg(
+            any_fn, closest_fn, o, l, b, key, int(segments), combo_fn,
+            compact, scatter_ok, compact_post, post_fills,
+        )
     post_names: tuple = ()
     if compact_post is not None:
         post_fills = dict(post_fills or {})

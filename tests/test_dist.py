@@ -130,10 +130,10 @@ def test_collective_volume_and_shard_balance(cornell_scene, cornell_camera):
     mesh = make_mesh(8)
     rep = replicated(mesh)
 
-    def compile_step(sort: bool):
+    def compile_step(sort: bool, segments: int = 1):
         cfg = RenderConfig(
             width=32, height=32, max_bounces=2, enable_svgf=False,
-            enable_tonemap=False, sort_rays=sort,
+            enable_tonemap=False, sort_rays=sort, sort_segments=segments,
         )
         params, frozen = split_scene_params(dict(scene))
         params["sun"] = jax.tree.map(jnp.asarray, SunLight.default(np))
@@ -171,12 +171,22 @@ def test_collective_volume_and_shard_balance(cornell_scene, cornell_camera):
     n_pix = 32 * 32
     assert stats["total_bytes"] <= 128 * n_pix, stats
 
-    # The detector must catch the sort's wavefront all-gather.
+    # The detector must catch the global sort's wavefront all-gather...
     compiled_s, _ = compile_step(sort=True)
     stats_s = collective_stats(compiled_s)
     ag = stats_s.get("all-gather", {"bytes": 0})["bytes"]
     assert ag >= 10 * n_pix * 4, (
         f"global-sort wavefront all-gather not detected: {stats_s}"
+    )
+
+    # ...and SHARD-LOCAL sorting (sort_segments == mesh size, what
+    # dist.runner configures) must eliminate it: segment-aligned sorts,
+    # compaction gathers, and unsorts partition locally, so the sorted
+    # step's collective volume returns to the sortless step's scale.
+    compiled_seg, _ = compile_step(sort=True, segments=8)
+    stats_seg = collective_stats(compiled_seg)
+    assert stats_seg["total_bytes"] <= 128 * n_pix, (
+        f"segment-local sort still rides collectives: {stats_seg}"
     )
 
     # Shard balance: equal rows per device == equal per-device ray counts.

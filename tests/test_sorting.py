@@ -120,6 +120,46 @@ def test_compact_post_buckets_agree(setup, n_live):
         assert np.isinf(np.asarray(hit["t"])[dead]).all()
 
 
+@pytest.mark.parametrize("n_live", [700, 3000, 30000])
+def test_segmented_matches_global(setup, n_live):
+    """Segment-local sort/compact/unsort (sort_segments > 1, the shard-local
+    layout) must return the same hits/occlusion as the global sort -- the
+    XLA bruteforce tracer vectorizes per batch width, so t/u/v agree to a
+    few ULP while ids/occlusion are exact."""
+    scene, closest_fn, any_fn, o, d, l = setup
+    alive = jnp.roll(jnp.arange(N) < n_live, 123)
+    key = ray_sort_key(
+        o, d, scene["aabb_min"], scene["aabb_max"], alive,
+        low_bits=alive.astype(jnp.int32) + 2 * alive.astype(jnp.int32),
+    )
+    occ_g, hit_g = sorted_shadow_closest(any_fn, closest_fn, o, l, d, key)
+    occ_s, hit_s = sorted_shadow_closest(
+        any_fn, closest_fn, o, l, d, key, segments=8
+    )
+    live = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(occ_s)[live], np.asarray(occ_g)[live])
+    np.testing.assert_array_equal(
+        np.asarray(hit_s["tri"])[live], np.asarray(hit_g["tri"])[live]
+    )
+    for k in ("t", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(hit_s[k])[live], np.asarray(hit_g[k])[live],
+            rtol=1e-5, atol=1e-6,
+        )
+    dead = ~live
+    assert (np.asarray(hit_s["tri"])[dead] == -1).all()
+    assert np.isinf(np.asarray(hit_s["t"])[dead]).all()
+
+    # sorted_any segmented too
+    from nebulae_tpu.tracer.sorting import DEAD_ORIGIN, sorted_any as _sa
+
+    o_sh = jnp.where(alive[:, None], o, DEAD_ORIGIN)
+    key_a = ray_sort_key(o_sh, l, scene["aabb_min"], scene["aabb_max"], alive)
+    a_g = _sa(any_fn, o_sh, l, key_a)
+    a_s = _sa(any_fn, o_sh, l, key_a, segments=8)
+    np.testing.assert_array_equal(np.asarray(a_s)[live], np.asarray(a_g)[live])
+
+
 @pytest.mark.parametrize("n_live", [700, 30000])
 def test_sorted_any_buckets(setup, n_live):
     scene, closest_fn, any_fn, o, d, l = setup
