@@ -26,10 +26,19 @@ def _load_lib(auto_build: bool = True):
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not _LIB_PATH.exists() and auto_build and (_NATIVE_DIR / "Makefile").exists():
+    src = _NATIVE_DIR / "bvh_builder.cpp"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if (not _LIB_PATH.exists() or stale) and auto_build and (_NATIVE_DIR / "Makefile").exists():
+        # The binary is NOT tracked in git (stale-binary hazard); it is built
+        # on demand here and rebuilt whenever the source is newer.
         try:
             subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120
+                ["make", "-C", str(_NATIVE_DIR), "-B"] if stale else ["make", "-C", str(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
             )
         except Exception:
             return None

@@ -130,6 +130,26 @@ class RenderConfig:
     # default; the shared per-segment bucket covers the busiest segment, so
     # imbalanced liveness wastes tiles when segmented).
     sort_segments: int = 1
+    # Frame-lagged compaction-bucket scheduling (the reference's
+    # ComputeIdealTrainingDimensions trick, DeferredRenderer.cpp:110, applied
+    # to wavefront compaction): instead of an in-graph live-count lax.switch
+    # picking each bounce's compaction bucket (whose conditional
+    # serialization costs ~20 ms/bounce at 1080p -- docs/PERFORMANCE.md
+    # round 4), the engine reads the PREVIOUS frame's live-lane counts
+    # (carried in the frame state) on the host and bakes a static per-vertex
+    # bucket schedule into the program.  A schedule change swaps the jitted
+    # program (cached per schedule; steady-state frames reuse one program).
+    # Buckets are chosen with headroom (engine.renderer SCHEDULE_MARGIN); if
+    # the wavefront still outgrows a bucket mid-frame, the overflowing live
+    # lanes read as misses for ONE frame and the schedule self-corrects next
+    # frame (the same one-frame lag the reference accepts for its training
+    # dims).  Exactness-critical runs (tests, goldens) keep this off.
+    bucket_scheduling: bool = False
+    # Explicit static schedule (advanced / derived by the engine): one
+    # compaction-fraction divisor per path vertex -- entries 0..max_bounces-2
+    # for the bounce loop, entry max_bounces-1 for the final NEE shadow
+    # trace.  1 = full width (always exact).  None = live-count switch.
+    bucket_schedule: tuple | None = None
     # Secondary bounces shade with face normals + texture-averaged material
     # values (no per-hit texture fetches) -- large speedup, tiny GI bias
     fast_bounce_shading: bool = False

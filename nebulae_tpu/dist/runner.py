@@ -65,11 +65,10 @@ class DistRenderer(Renderer):
             shard_frame_state(self.mesh, self.state),
         )
 
-    def _build_jits(self):
+    def _make_jit(self, cfg):
         mesh = getattr(self, "mesh", None)
         if mesh is None:  # super().__init__ runs before mesh exists on resize paths
-            self._jit_frame = jax.jit(partial(render_frame, cfg=self.cfg))
-            return
+            return jax.jit(partial(render_frame, cfg=cfg))
         rep = replicated(mesh)
 
         def rep_tree(tree):
@@ -77,10 +76,10 @@ class DistRenderer(Renderer):
 
         from nebulae_tpu.engine.renderer import init_frame_state
 
-        state_proto = init_frame_state(self.cfg)
+        state_proto = init_frame_state(cfg)
         state_sh = shard_frame_state(mesh, state_proto)
-        self._jit_frame = jax.jit(
-            partial(render_frame, cfg=self.cfg),
+        return jax.jit(
+            partial(render_frame, cfg=cfg),
             in_shardings=(
                 rep_tree(self.scene),
                 rep_tree(self.bvh),
@@ -111,9 +110,10 @@ class DistRenderer(Renderer):
             lambda x: jax.device_put(jnp.asarray(x), rep),
             make_camera_arrays(camera, self.cfg.width, self.cfg.height),
         )
-        outputs, self.state = self._jit_frame(
+        outputs, self.state = self._frame_jit()(
             self.scene, self.bvh, sun if sun is not None else self.sun, cam, self.state
         )
+        self._frames_rendered = getattr(self, "_frames_rendered", 0) + 1
         return outputs
 
 

@@ -45,6 +45,10 @@ def init_frame_state(cfg: RenderConfig) -> dict:
         from nebulae_tpu.nrc.cache import init_cache
 
         state["nrc"] = init_cache(seed=0)
+    if cfg.bucket_scheduling:
+        # Per-vertex live-lane counts from the last frame -- the host-side
+        # frame-lagged bucket scheduler reads these (Renderer._next_schedule).
+        state["live_counts"] = jnp.zeros(cfg.max_bounces, jnp.int32)
     return state
 
 
@@ -96,6 +100,7 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     else:
         nrc_loss = jnp.float32(0.0)
 
+    live_counts = None
     for _ in range(cfg.spp):
         sample_gbuf = gbuf
         if cfg.jitter_primary:
@@ -124,8 +129,12 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
                 scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg,
                 jax.lax.stop_gradient(new_state["nrc"]["ema_params"]),
             )
+            live_counts = nrc_aux.get("live_counts", live_counts)
         elif cfg.enable_gi:
-            sample, rng_state = path_trace(scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg)
+            sample, rng_state, counts = path_trace(
+                scene, sample_gbuf, sun, closest_fn, any_fn, rng_state, cfg
+            )
+            live_counts = counts if counts is not None else live_counts
         else:
             sample, rng_state = shade_direct(scene, sample_gbuf, sun, any_fn, rng_state)
         if cfg.jitter_primary:
@@ -201,6 +210,10 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
         denoised = img
     new_state["frame"] = state["frame"] + jnp.uint32(1)
     new_state["reset_history"] = jnp.bool_(False)
+    if cfg.bucket_scheduling:
+        new_state["live_counts"] = (
+            live_counts if live_counts is not None else state["live_counts"]
+        )
 
     ldr = aces_tonemap(denoised) if cfg.enable_tonemap else denoised
     if cfg.lean_outputs:
@@ -248,12 +261,53 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     return outputs, new_state
 
 
+# Headroom for the frame-lagged bucket schedule: a vertex's static bucket
+# must cover at least live_count / SCHEDULE_MARGIN lanes, so the wavefront
+# can grow ~33% frame-over-frame before an overflow (which drops the excess
+# live lanes to miss records for that one frame; the schedule self-corrects
+# on the next).  The margin also provides switching hysteresis.
+SCHEDULE_MARGIN = 0.75
+
+
+def derive_bucket_schedule(counts, n_lanes: int, segments: int = 1,
+                           margin: float = SCHEDULE_MARGIN) -> tuple:
+    """Static per-vertex compaction fractions from measured live counts.
+
+    `counts` [V]: previous frame's per-vertex live-lane counts (busiest
+    segment when segment-local).  Picks the largest COMPACT_FRACTIONS
+    divisor whose bucket covers count/margin; falls back to full width."""
+    from nebulae_tpu.tracer.sorting import COMPACT_FRACTIONS, _frac_to_bucket
+
+    m = n_lanes // max(int(segments), 1)
+    fracs = []
+    for c in np.asarray(counts):
+        chosen = 1
+        for f in sorted(COMPACT_FRACTIONS, reverse=True):
+            if f <= 1:
+                continue
+            b = _frac_to_bucket(f, m)
+            if b < m and float(c) <= margin * b:
+                chosen = int(f)
+                break
+        fracs.append(chosen)
+    return tuple(fracs)
+
+
 class Renderer:
     """Host-side convenience wrapper: owns device arrays, jit cache, state.
 
     The `Nebulae`/`Renderer` singleton analogue (Nebulae.h:22-64) minus the
     Win32 shell: init with a scene, call `.render(camera)` per frame, read
     images back.  Presentation (Swapchain analogue) is utils.display.
+
+    With cfg.bucket_scheduling the renderer runs the reference's
+    frame-lagged sizing trick (ComputeIdealTrainingDimensions,
+    DeferredRenderer.cpp:110) on wavefront compaction: each frame's
+    per-vertex live counts ride the frame state; before the next frame the
+    host derives a STATIC bucket schedule from them and dispatches the
+    jitted program compiled for that schedule (cached per schedule) -- no
+    in-graph live-count lax.switch serializing the bounce loop.  Frame 0
+    runs full-width buckets (exact, and the cheapest program to compile).
     """
 
     def __init__(self, flat_scene: FlatScene, cfg: RenderConfig, sun: SunLight | None = None, bvh=None):
@@ -380,8 +434,44 @@ class Renderer:
         self.state = init_frame_state(cfg)
         self._build_jits()
 
+    def _make_jit(self, cfg):
+        """Jitted frame for one concrete config (DistRenderer adds shardings)."""
+        return jax.jit(partial(render_frame, cfg=cfg))
+
     def _build_jits(self):
-        self._jit_frame = jax.jit(partial(render_frame, cfg=self.cfg))
+        self._sched_jits = {}
+        self._frames_rendered = 0  # schedule bootstrap restarts on re-jit
+        if self.cfg.bucket_scheduling and self.cfg.bucket_schedule is None:
+            # Frame 0 bootstrap: full-width buckets -- always exact, no
+            # switch, and the cheapest big program to compile.  Live counts
+            # from it drive the steady-state schedule from frame 1 on.
+            from dataclasses import replace
+
+            full = tuple([1] * self.cfg.max_bounces)
+            self._jit_frame = self._make_jit(replace(self.cfg, bucket_schedule=full))
+            self._sched_jits[full] = self._jit_frame
+        else:
+            self._jit_frame = self._make_jit(self.cfg)
+
+    def _frame_jit(self):
+        """The program to dispatch this frame: schedule-specific when
+        bucket scheduling is live, else the base program."""
+        if not (self.cfg.bucket_scheduling and self.cfg.bucket_schedule is None):
+            return self._jit_frame
+        counts = self.state.get("live_counts")
+        if counts is None or getattr(self, "_frames_rendered", 0) == 0:
+            return self._jit_frame  # frame 0: full-width bootstrap
+        sched = derive_bucket_schedule(
+            np.asarray(counts), self.cfg.width * self.cfg.height,
+            self.cfg.sort_segments,
+        )
+        fn = self._sched_jits.get(sched)
+        if fn is None:
+            from dataclasses import replace
+
+            fn = self._make_jit(replace(self.cfg, bucket_schedule=sched))
+            self._sched_jits[sched] = fn
+        return fn
 
     def reset_history(self):
         self.state["reset_history"] = jnp.bool_(True)
@@ -440,6 +530,12 @@ class Renderer:
             from nebulae_tpu.nrc.cache import init_cache
 
             self.state["nrc"] = init_cache(seed=0)
+        if cfg.bucket_scheduling:
+            lc = self.state.get("live_counts")
+            if lc is None or lc.shape[0] != cfg.max_bounces:
+                self.state["live_counts"] = jnp.zeros(cfg.max_bounces, jnp.int32)
+        elif "live_counts" in self.state:
+            del self.state["live_counts"]
 
     def update_geometry(self, tri_pos, tri_nrm=None):
         """Dynamic-scene geometry update: swap the world triangles, refit the
@@ -455,11 +551,14 @@ class Renderer:
 
         tri_pos [T, 3, 3] float32; tri_nrm optional [T, 3, 3]."""
         if self.bvh is not None and ("chunks" in self.bvh or "tri_chunks" in self.bvh):
-            raise NotImplementedError(
-                "refit over subtree/tri-chunked tables is unsupported (each "
-                "chunk re-bases the tree); use chunk_mode='paged' (refittable "
-                "at any size) or rebuild the Renderer"
-            )
+            # Chunked tables re-base the tree per chunk, so a direct refit is
+            # unsupported -- auto-route the scene to the demand-paged layout
+            # (ONE whole-tree fat4 table, refittable at any size; the tri
+            # table stays in HBM behind the kernel's paged VMEM cache).  The
+            # reference's TLAS refits at any size too
+            # (RTAccelerationStructureBuilder.cpp:99-131); a one-time repack
+            # here keeps that contract for dynamic chunked-scale scenes.
+            self._route_chunked_to_paged()
         if not hasattr(self, "_refit_fn"):
             self._refit_fn = self._build_refit_fn()
         tri_pos = jnp.asarray(tri_pos, jnp.float32)
@@ -472,6 +571,53 @@ class Renderer:
         self.scene.update(updates["scene"])
         if self.bvh is not None:
             self.bvh.update(updates["bvh"])
+
+    def _route_chunked_to_paged(self):
+        """Swap subtree/tri-chunked traversal tables for the demand-paged
+        single-table layout (dynamic-scene path; see update_geometry)."""
+        if self.cfg.bvh_wide != 4:
+            raise NotImplementedError(
+                "refit over chunked fat2 tables is unsupported; use "
+                "bvh_wide=4 (default) or rebuild the Renderer"
+            )
+        from types import SimpleNamespace
+
+        from nebulae_tpu.kernels.pallas_trace import (
+            pack_bvh_fat4,
+            pad_tris_for_paging,
+        )
+        from nebulae_tpu.utils.logging import log_info
+
+        log_info(
+            "update_geometry on a chunked scene: repacking traversal tables "
+            "to chunk_mode='paged' (one-time cost; refit is supported there)"
+        )
+        host = SimpleNamespace(
+            **{
+                k: np.asarray(self.bvh[k])
+                for k in (
+                    "node_lo", "node_hi", "node_first", "node_count",
+                    "node_skip", "node_right", "tri_index",
+                )
+            }
+        )
+        host.num_nodes = host.node_count.shape[0]
+        packed = pack_bvh_fat4(
+            host, np.asarray(self.scene["tri_pos"]), tri_group=self.cfg.bvh_tri_group
+        )
+        if packed is None:
+            raise RuntimeError("paged repack failed (degenerate root leaf)")
+        packed["tris"] = pad_tris_for_paging(packed["tris"])
+        self.bvh.pop("chunks", None)
+        self.bvh.pop("tri_chunks", None)
+        self.bvh.pop("fat4nodes", None)
+        self.bvh.pop("fatnodes", None)
+        self.bvh.update({k: jnp.asarray(v) for k, v in packed.items()})
+        # Structure changed: drop the cached refit program + jitted frames
+        # (jax.jit retraces on the new bvh pytree structure anyway).
+        if hasattr(self, "_refit_fn"):
+            del self._refit_fn
+        self._build_jits()
 
     def _build_refit_fn(self):
         """Host-static refit metadata (tree levels, fat-table slot maps) +
@@ -585,7 +731,8 @@ class Renderer:
             self.reset_history()
         self._last_cam = fingerprint
         cam = make_camera_arrays(camera, self.cfg.width, self.cfg.height)
-        outputs, self.state = self._jit_frame(
+        outputs, self.state = self._frame_jit()(
             self.scene, self.bvh, sun if sun is not None else self.sun, cam, self.state
         )
+        self._frames_rendered = getattr(self, "_frames_rendered", 0) + 1
         return outputs

@@ -44,15 +44,23 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
     spread0 = jnp.where(jnp.isfinite(spread0), spread0, 0.0)
 
     QREC_KEYS = ("position", "normal_s", "albedo", "roughness", "metalness")
+    track = cfg.bucket_scheduling
+    from nebulae_tpu.passes.pathtrace import _live_count, _schedule_entries
 
-    def body(carry, bounce_i):
+    entries = _schedule_entries(cfg)
+
+    def body(carry, bounce_i, bucket_frac=None):
         rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
         from nebulae_tpu.passes.pathtrace import nee_bounce_draws, nee_bounce_step
 
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
         alive_b = alive & pre["rr_continue"]  # RR absorption kills the bounce
+        if track:
+            participate = alive_b | pre["shoot"]
+            dbg = {**dbg, "live_counts": dbg["live_counts"].at[bounce_i].set(
+                _live_count(participate, cfg.sort_segments))}
         vis, found, hit_t, new_surf = nee_bounce_step(
-            scene, pre, alive_b, closest_fn, any_fn, cfg
+            scene, pre, alive_b, closest_fn, any_fn, cfg, bucket_frac
         )
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
@@ -102,6 +110,7 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         # NrcStructures.h:186-245): per-path vertex count and the bounce
         # index where the path handed off to the cache (-1 = never).
         dbg = {
+            **dbg,
             "n_vert": dbg["n_vert"] + alive.astype(jnp.float32),
             "term_bounce": jnp.where(
                 terminate & (dbg["term_bounce"] < 0),
@@ -116,6 +125,8 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         "n_vert": gbuf["hit"].astype(jnp.float32),  # primary vertex counts
         "term_bounce": jnp.full(n_pix, -1.0, jnp.float32),
     }
+    if track:
+        dbg0["live_counts"] = jnp.zeros(cfg.max_bounces, jnp.int32)
     if cfg.nrc_inline_resolve:
         qrec0 = jnp.zeros((), jnp.float32)  # placeholder carry leaf
     else:
@@ -135,17 +146,35 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         qrec0,
     )
     if cfg.max_bounces > 1:
+        from functools import partial as _partial
+
+        n_it = cfg.max_bounces - 1
         if cfg.nrc_unroll_query:
             # Unrolled bounce loop: no XLA while -- memory-space assignment
             # prices each gather-table use individually instead of through
             # the while-loop cost model that starved the NRC program's
             # tri_fast pin (docs/PERFORMANCE.md round 4).
-            for i in range(cfg.max_bounces - 1):
-                carry, _ = body(carry, jnp.int32(i))
+            for i in range(n_it):
+                carry, _ = body(
+                    carry, jnp.int32(i),
+                    bucket_frac=None if entries is None else entries[i],
+                )
+        elif entries is None:
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(n_it, dtype=jnp.int32))
         else:
-            carry, _ = jax.lax.scan(
-                body, carry, jnp.arange(cfg.max_bounces - 1, dtype=jnp.int32)
-            )
+            # Frame-lagged static bucket schedule: split the scan into groups
+            # of consecutive equal fractions (see pathtrace.run_scheduled_bounces).
+            i = 0
+            while i < n_it:
+                j = i
+                while j < n_it and entries[j] == entries[i]:
+                    j += 1
+                grp = _partial(body, bucket_frac=entries[i])
+                if j - i == 1:
+                    carry, _ = grp(carry, jnp.int32(i))
+                else:
+                    carry, _ = jax.lax.scan(grp, carry, jnp.arange(i, j, dtype=jnp.int32))
+                i = j
     rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
     if not cfg.nrc_inline_resolve and cfg.max_bounces > 1:
         # Post-scan resolve: one cache query over the latched handoff records
@@ -159,7 +188,10 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
             learn_irradiance=cfg.nrc_learn_irradiance,
         )
         acc = acc + jnp.where(q_set[..., None], qrec["throughput"] * pred, 0.0)
-    direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+    last_frac = None if entries is None else entries[cfg.max_bounces - 1]
+    direct, rng_state, shoot = _nee_direct(
+        scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays, last_frac
+    )
     acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
 
     aux = {
@@ -169,6 +201,12 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         "term_bounce": dbg["term_bounce"],
         "query_set": q_set,
     }
+    if track:
+        from nebulae_tpu.passes.pathtrace import _live_count as _lc
+
+        aux["live_counts"] = dbg["live_counts"].at[cfg.max_bounces - 1].set(
+            _lc(shoot, cfg.sort_segments)
+        )
     return acc, rng_state, aux
 
 
@@ -285,7 +323,7 @@ def path_trace_nrc_train(scene, sun, closest_fn, any_fn, cfg, cache_state, optim
     rng_state, alive, surf, view, _spread = carry
 
     # Final vertex: NEE only; its suffix is the self-training tail query.
-    direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+    direct, rng_state, _shoot = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
     local_last = jnp.where(alive[..., None], direct + surf["emissive"], 0.0)
     if cfg.nrc_self_training:
         tail_pred = query_cache(

@@ -40,6 +40,28 @@ from nebulae_tpu.tracer.sorting import (
 SURF_KEYS = ("position", "normal_g", "normal_s", "albedo", "roughness", "metalness", "emissive")
 
 
+def _live_count(participate, segments: int):
+    """Live-lane count with the same semantics the compaction bucket uses:
+    global sum for the global sort, busiest-segment sum when segment-local
+    (the shared bucket must cover the busiest segment)."""
+    c = participate.astype(jnp.int32)
+    n = c.shape[0]
+    if segments > 1 and n % segments == 0 and n // segments >= 2:
+        return c.reshape(segments, -1).sum(axis=1).max()
+    return c.sum()
+
+
+def _schedule_entries(cfg):
+    """Per-vertex static bucket fractions from cfg.bucket_schedule, padded
+    with 1 (full width, always exact) to max_bounces entries; None when no
+    schedule is set (live-count switch)."""
+    if cfg.bucket_schedule is None:
+        return None
+    return (tuple(int(f) for f in cfg.bucket_schedule) + (1,) * cfg.max_bounces)[
+        : cfg.max_bounces
+    ]
+
+
 def nee_bounce_draws(surf, view, sun, alive, rng_state):
     """The 5 RNG draws + shading-side math of one path vertex: sun-disk NEE
     direction/BRDF (2 draws), lobe-selection Russian roulette (1 draw), then
@@ -76,7 +98,7 @@ def nee_bounce_draws(surf, view, sun, alive, rng_state):
     return rng_state, pre
 
 
-def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
+def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg, bucket_frac=None):
     """Trace the vertex's shadow + bounce rays; one shared sort when
     cfg.sort_rays.  Returns (vis [N], hit dict) in original ray order.
 
@@ -103,6 +125,7 @@ def nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             combo_fn=getattr(closest_fn, "combo", None),
             num_tris=scene["tri_pos"].shape[0],
             segments=cfg.sort_segments,
+            static_bucket_frac=bucket_frac,
         )
         hit = detach(hit)
     else:
@@ -247,13 +270,14 @@ def _full_shading_compact_post(scene):
     return post, fills
 
 
-def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
+def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg, bucket_frac=None):
     """One path vertex's traces + next-vertex surface reconstruction.
 
     Returns (vis [N], found [N] bool, hit_t [N], surf dict).  With ray
     sorting the shading attributes are reconstructed in the compacted sorted
     domain (_fast_shading_compact_post / _full_shading_compact_post); other
-    configurations trace then reconstruct full-width."""
+    configurations trace then reconstruct full-width.  `bucket_frac` pins
+    this vertex's compaction bucket statically (frame-lagged scheduling)."""
     mode = _compact_reconstruct_mode(scene, cfg)
     if mode is not None:
         origin = jax.lax.stop_gradient(pre["origin"])
@@ -275,8 +299,14 @@ def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
             num_tris=scene["tri_pos"].shape[0],
             compact_post=post, post_fills=fills,
             segments=cfg.sort_segments,
+            static_bucket_frac=bucket_frac,
         )
         vis = jnp.where(pre["shoot"] & ~occ, 1.0, 0.0)
+        # Detach the hit distance (matching nee_bounce_trace's detach(hit)):
+        # position = origin + t*d must not keep a live differentiable path
+        # through the tracer's t w.r.t. tri_pos if geometry ever becomes
+        # trainable; origin/dirs were stop-gradiented before the trace.
+        hit = {**hit, "t": jax.lax.stop_gradient(hit["t"])}
         from nebulae_tpu.core.surface import fetch_rows
 
         mat = hit["mat"]
@@ -322,14 +352,18 @@ def nee_bounce_step(scene, pre, alive_bounce, closest_fn, any_fn, cfg):
                 "emissive": emissive,
             }
         return vis, hit["found"], hit["t"], surf
-    vis, hit = nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg)
+    vis, hit = nee_bounce_trace(scene, pre, alive_bounce, closest_fn, any_fn, cfg, bucket_frac)
     surf_full = _reconstruct(scene, hit, pre["origin"], pre["new_d"], cfg)
     surf = {k: surf_full[k] for k in SURF_KEYS}
     return vis, hit["tri"] >= 0, hit["t"], surf
 
 
-def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
-    """Sun-disk NEE at a vertex (2 draws). Returns (direct, rng_state)."""
+def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort,
+                bucket_frac=None):
+    """Sun-disk NEE at a vertex (2 draws).
+
+    Returns (direct, rng_state, shoot) -- `shoot` is the participating-lane
+    mask (for the frame-lagged bucket-count bookkeeping)."""
     rng_state, u1 = nrng.next_float(rng_state)
     rng_state, u2 = nrng.next_float(rng_state)
     l = brdf.sun_disk_sample(u1, u2, sun.direction[None, :], sun.tan_half_angle, jnp)
@@ -345,12 +379,41 @@ def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort):
     l_sh = jax.lax.stop_gradient(l)
     if sort:
         key = ray_sort_key(origin_sh, l_sh, scene["aabb_min"], scene["aabb_max"], shoot)
-        occ = sorted_any(any_fn, origin_sh, l_sh, key, segments=cfg.sort_segments)
+        occ = sorted_any(any_fn, origin_sh, l_sh, key, segments=cfg.sort_segments,
+                         static_bucket_frac=bucket_frac)
     else:
         occ = any_fn(origin_sh, l_sh)
     vis = jnp.where(shoot & ~occ, 1.0, 0.0)
     direct = f * (n_dot_l * vis)[..., None] * sun.radiance[None, :]
-    return direct, rng_state
+    return direct, rng_state, shoot
+
+
+def run_scheduled_bounces(body, carry, n_it: int, entries):
+    """Run `n_it` bounce iterations of `body(carry, _, bucket_frac)`.
+
+    With `entries` (per-vertex static bucket fractions) the loop splits into
+    groups of consecutive equal fractions -- each group is its own lax.scan
+    (or a single inlined call), so every vertex gets its scheduled static
+    bucket with at most a handful of traced bodies.  Without a schedule it
+    is one uniform scan (the graph stays one-bounce-sized; full unrolling
+    made backward compiles take minutes)."""
+    from functools import partial
+
+    if entries is None:
+        carry, _ = jax.lax.scan(partial(body, bucket_frac=None), carry, None, length=n_it)
+        return carry
+    i = 0
+    while i < n_it:
+        j = i
+        while j < n_it and entries[j] == entries[i]:
+            j += 1
+        grp = partial(body, bucket_frac=entries[i])
+        if j - i == 1:
+            carry, _ = grp(carry, None)
+        else:
+            carry, _ = jax.lax.scan(grp, carry, None, length=j - i)
+        i = j
+    return carry
 
 
 def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
@@ -359,16 +422,22 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
     The bounce loop is a `lax.scan` with a uniform body (NEE + indirect
     trace), followed by one final NEE -- identical RNG draw order to the CPU
     oracle's loop, but the XLA graph stays one-bounce-sized regardless of
-    max_bounces (unrolling made backward compiles take minutes).
+    max_bounces (unrolling made backward compiles take minutes).  With
+    cfg.bucket_schedule the scan splits into groups of equal static bucket
+    fractions (run_scheduled_bounces); with cfg.bucket_scheduling the
+    per-vertex live counts are measured for the engine's frame-lagged
+    scheduler.
 
-    Returns (radiance [N, 3], rng_state).
+    Returns (radiance [N, 3], rng_state, live_counts [max_bounces] | None).
     """
     n_pix = gbuf["ray_d"].shape[0]
     surf0 = {k: gbuf[k] for k in SURF_KEYS}
     acc0 = jnp.where(gbuf["hit"][..., None], surf0["emissive"], 0.0)
+    track = cfg.bucket_scheduling
+    entries = _schedule_entries(cfg)
 
-    def bounce_body(carry, _):
-        rng_state, throughput, alive, acc, surf, view = carry
+    def bounce_body(carry, _, bucket_frac=None):
+        rng_state, throughput, alive, acc, surf, view, counts, vi = carry
         rng_state, pre = nee_bounce_draws(surf, view, sun, alive, rng_state)
 
         new_throughput = throughput * pre["weight"]
@@ -376,10 +445,14 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         if cfg.throughput_threshold > 0.0:
             alive_b = alive_b & (new_throughput.max(axis=-1) > cfg.throughput_threshold)
 
+        if track:
+            participate = alive_b | pre["shoot"]
+            counts = counts.at[vi].set(_live_count(participate, cfg.sort_segments))
+
         # Shadow + bounce under one shared sort; next-vertex reconstruction
         # rides the compacted domain when fast shading is on (nee_bounce_step).
         vis, found, _hit_t, surf = nee_bounce_step(
-            scene, pre, alive_b, closest_fn, any_fn, cfg
+            scene, pre, alive_b, closest_fn, any_fn, cfg, bucket_frac
         )
         direct = pre["f"] * (pre["n_dot_l"] * vis)[..., None] * sun.radiance[None, :]
         acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
@@ -391,13 +464,22 @@ def path_trace(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg):
         acc = acc + jnp.where((alive & ~found)[..., None], throughput * sky, 0.0)
         alive = alive & found
         acc = acc + jnp.where(alive[..., None], throughput * surf["emissive"], 0.0)
-        return (rng_state, throughput, alive, acc, surf, -new_d), None
+        return (rng_state, throughput, alive, acc, surf, -new_d, counts, vi + 1), None
 
-    carry = (rng_state, jnp.ones((n_pix, 3), jnp.float32), gbuf["hit"], acc0, surf0, gbuf["view"])
+    counts0 = jnp.zeros(cfg.max_bounces, jnp.int32)
+    carry = (
+        rng_state, jnp.ones((n_pix, 3), jnp.float32), gbuf["hit"], acc0, surf0,
+        gbuf["view"], counts0, jnp.int32(0),
+    )
     if cfg.max_bounces > 1:
-        carry, _ = jax.lax.scan(bounce_body, carry, None, length=cfg.max_bounces - 1)
-    rng_state, throughput, alive, acc, surf, view = carry
+        carry = run_scheduled_bounces(bounce_body, carry, cfg.max_bounces - 1, entries)
+    rng_state, throughput, alive, acc, surf, view, counts, _vi = carry
     # Final vertex: NEE only (matches the oracle's "break before indirect").
-    direct, rng_state = _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays)
+    last_frac = None if entries is None else entries[cfg.max_bounces - 1]
+    direct, rng_state, shoot = _nee_direct(
+        scene, surf, view, sun, alive, any_fn, rng_state, cfg, cfg.sort_rays, last_frac
+    )
     acc = acc + jnp.where(alive[..., None], throughput * direct, 0.0)
-    return acc, rng_state
+    if track:
+        counts = counts.at[cfg.max_bounces - 1].set(_live_count(shoot, cfg.sort_segments))
+    return acc, rng_state, (counts if track else None)

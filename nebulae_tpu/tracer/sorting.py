@@ -28,7 +28,40 @@ import os as _os
 
 # Debug: fixed compaction bucket n/k, bypassing the live-count lax.switch
 # (see sorted_shadow_closest) -- for measuring conditional overhead.
+# NOT exact when live lanes exceed the fixed bucket, and it has NO effect on
+# the segment-local path (segments > 1); microbench use only.
 _FIXED_BUCKET = int(_os.environ.get("NEB_FIXED_BUCKET", "0"))
+if _FIXED_BUCKET:  # pragma: no cover - debug knob
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"NEB_FIXED_BUCKET={_FIXED_BUCKET}: compaction bucket is pinned to "
+        "n/{0} -- results are INEXACT when live lanes exceed the bucket, and "
+        "the knob is ignored by the segment-local (sort_segments>1) path. "
+        "Microbenchmark use only.".format(_FIXED_BUCKET),
+        stacklevel=2,
+    )
+
+_warned_seg_fallback = False
+
+
+def _segment_fallback_warn(n: int, segments: int) -> None:
+    """Log (once) when a segments>1 call falls back to the global sort --
+    on a sharded mesh that silently reintroduces the wavefront all-gather
+    the segment-local path exists to remove (dist/stats.py would otherwise
+    be the only signal)."""
+    global _warned_seg_fallback
+    if _warned_seg_fallback:
+        return
+    _warned_seg_fallback = True
+    from nebulae_tpu.utils.logging import log_warn
+
+    log_warn(
+        f"sort_segments={segments} does not divide the {n}-lane wavefront "
+        "(or leaves <2 lanes/segment); falling back to the GLOBAL sort. On "
+        "a sharded mesh this re-introduces cross-shard all-gathers per "
+        "bounce -- pick a resolution whose pixel count divides the mesh size."
+    )
 
 # Live-lane compaction: after the sort, participating lanes form a prefix, so
 # the traversal runs on the smallest static slice that covers them (XLA needs
@@ -43,6 +76,14 @@ COMPACT_FRACTIONS = (64, 16, 4, 1)  # divisors of N, smallest bucket first
 def _bucket_sizes(n: int):
     sizes = sorted({max(-(-n // f), 1024) for f in COMPACT_FRACTIONS})
     return [min(s, n) for s in sizes]
+
+
+def _frac_to_bucket(frac: int, n: int) -> int:
+    """Static bucket size for fraction divisor `frac` of an n-lane domain
+    (same clamping as _bucket_sizes; frac <= 1 = full width)."""
+    if frac <= 1:
+        return n
+    return min(max(-(-n // int(frac)), 1024), n)
 
 
 def _scatter_unsort(b: int, n: int) -> bool:
@@ -102,7 +143,8 @@ def ray_sort_key(o, d, aabb_min, aabb_max, alive=None, low_bits=None):
 _MISS_FILL = {"t": jnp.inf, "tri": -1, "u": 0.0, "v": 0.0, "occ": 0}
 
 
-def _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, S: int):
+def _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, S: int,
+                      static_bucket_frac: int | None = None):
     """Segment-local sorted_trace (see _sorted_shadow_closest_seg)."""
     n = o.shape[0]
     m = n // S
@@ -142,19 +184,25 @@ def _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, S: int):
         srt = jax.lax.sort((perm, *padded), dimension=1, num_keys=1)[1:]
         return tuple(x.reshape(n) for x in srt)
 
-    sizes = _bucket_sizes(m) if compact else [m]
-    if len(sizes) > 1:
-        live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
-        n_live = live_per_seg.max()
-        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+    if static_bucket_frac is not None and compact:
+        # Frame-lagged static bucket: no data-dependent switch (the caller
+        # scheduled this vertex's bucket from the previous frame's live
+        # counts -- engine.renderer bucket scheduling).
+        outs = run(_frac_to_bucket(static_bucket_frac, m))
     else:
-        outs = run(m)
+        sizes = _bucket_sizes(m) if compact else [m]
+        if len(sizes) > 1:
+            live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
+            n_live = live_per_seg.max()
+            sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+            outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+        else:
+            outs = run(m)
     return dict(zip(extra_outputs, outs))
 
 
 def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: bool = True,
-                 segments: int = 1):
+                 segments: int = 1, static_bucket_frac: int | None = None):
     """Run trace_fn on rays sorted by `key`, return hits in original order.
 
     trace_fn(o, d) -> dict with [N]-shaped float/int arrays named in
@@ -162,10 +210,17 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: b
     With `compact`, the trace runs on the live-lane prefix only (see
     COMPACT_FRACTIONS); dead-key lanes get miss records.  `segments` > 1 =
     segment-local sort/compact/unsort (shard-alignable).
+    `static_bucket_frac` pins the compaction bucket to n/frac statically
+    (no live-count lax.switch); live lanes beyond the bucket get miss
+    records, so the caller must schedule a covering fraction (frame-lagged
+    bucket scheduling, engine.renderer).
     """
     n = o.shape[0]
-    if segments > 1 and n % segments == 0 and n // segments >= 2:
-        return _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact, int(segments))
+    if segments > 1:
+        if n % segments == 0 and n // segments >= 2:
+            return _sorted_trace_seg(trace_fn, o, d, key, extra_outputs, compact,
+                                     int(segments), static_bucket_frac)
+        _segment_fallback_warn(n, segments)
     idx = jnp.arange(n, dtype=jnp.int32)
     # Narrow sort + prefix row gather (see sorted_shadow_closest).  Both
     # sorts key on (key, idx) so their total order is identical (idx is
@@ -202,13 +257,16 @@ def sorted_trace(trace_fn, o, d, key, extra_outputs: tuple[str, ...], compact: b
         )
         return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
-    sizes = _bucket_sizes(n) if compact else [n]
-    if len(sizes) > 1:
-        n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
-        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        outs = jax.lax.switch(sel, [lambda b=b: run(b) for b in sizes])
+    if static_bucket_frac is not None and compact:
+        outs = run(_frac_to_bucket(static_bucket_frac, n))
     else:
-        outs = run(n)
+        sizes = _bucket_sizes(n) if compact else [n]
+        if len(sizes) > 1:
+            n_live = jnp.sum((key != jnp.int32(DEAD_KEY)).astype(jnp.int32))
+            sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+            outs = jax.lax.switch(sel, [lambda b=b: run(b) for b in sizes])
+        else:
+            outs = run(n)
     return dict(zip(extra_outputs, outs))
 
 
@@ -217,17 +275,18 @@ def sorted_closest(closest_fn, o, d, key):
     return out
 
 
-def sorted_any(any_fn, o, d, key, segments: int = 1):
+def sorted_any(any_fn, o, d, key, segments: int = 1, static_bucket_frac: int | None = None):
     def fn(os, ds):
         return {"occ": any_fn(os, ds).astype(jnp.int32)}
 
-    out = sorted_trace(fn, o, d, key, ("occ",), segments=segments)
+    out = sorted_trace(fn, o, d, key, ("occ",), segments=segments,
+                       static_bucket_frac=static_bucket_frac)
     return out["occ"] > 0
 
 
 def _sorted_shadow_closest_seg(any_fn, closest_fn, o, l, b, key, S: int,
                                combo_fn, compact, scatter_ok, compact_post,
-                               post_fills):
+                               post_fills, static_bucket_frac=None):
     """Segment-local variant of sorted_shadow_closest: rays sort/compact/
     unsort within S independent contiguous segments ([S, N/S] operations
     along axis 1 only).
@@ -319,16 +378,20 @@ def _sorted_shadow_closest_seg(any_fn, closest_fn, o, l, b, key, S: int,
         srt = jax.lax.sort((perm, *padded), dimension=1, num_keys=1)[1:]
         return tuple(x.reshape(n) for x in srt)
 
-    sizes = _bucket_sizes(m) if compact else [m]
-    if len(sizes) > 1:
-        # Shared static bucket = the busiest segment's live count (a scalar
-        # max-reduce -- the only cross-segment communication).
-        live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
-        n_live = live_per_seg.max()
-        sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+    if static_bucket_frac is not None and compact:
+        # Frame-lagged static bucket (shared across segments): no switch.
+        outs = run(_frac_to_bucket(static_bucket_frac, m))
     else:
-        outs = run(m)
+        sizes = _bucket_sizes(m) if compact else [m]
+        if len(sizes) > 1:
+            # Shared static bucket = the busiest segment's live count (a scalar
+            # max-reduce -- the only cross-segment communication).
+            live_per_seg = jnp.sum((key2 != jnp.int32(DEAD_KEY)).astype(jnp.int32), axis=1)
+            n_live = live_per_seg.max()
+            sel = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+            outs = jax.lax.switch(sel, [lambda nb=nb: run(nb) for nb in sizes])
+        else:
+            outs = run(m)
     id_occ, t = outs[0], outs[1]
     occluded = (id_occ & 1) > 0
     ids = (id_occ >> 1) - 1
@@ -343,7 +406,7 @@ def _sorted_shadow_closest_seg(any_fn, closest_fn, o, l, b, key, S: int,
 def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
                           compact: bool = True, num_tris: int | None = None,
                           compact_post=None, post_fills: dict | None = None,
-                          segments: int = 1):
+                          segments: int = 1, static_bucket_frac: int | None = None):
     """Shadow + bounce trace under ONE shared sort permutation.
 
     At a path vertex the NEE shadow ray and the indirect bounce ray share the
@@ -388,11 +451,14 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
     Returns (occluded [N], hit dict) in original ray order."""
     n = o.shape[0]
     scatter_ok = num_tris is None or (num_tris + 1) * 2 + 1 < (1 << 24)
-    if segments > 1 and n % segments == 0 and n // segments >= 2:
-        return _sorted_shadow_closest_seg(
-            any_fn, closest_fn, o, l, b, key, int(segments), combo_fn,
-            compact, scatter_ok, compact_post, post_fills,
-        )
+    if segments > 1:
+        if n % segments == 0 and n // segments >= 2:
+            return _sorted_shadow_closest_seg(
+                any_fn, closest_fn, o, l, b, key, int(segments), combo_fn,
+                compact, scatter_ok, compact_post, post_fills,
+                static_bucket_frac,
+            )
+        _segment_fallback_warn(n, segments)
     post_names: tuple = ()
     if compact_post is not None:
         post_fills = dict(post_fills or {})
@@ -475,7 +541,12 @@ def sorted_shadow_closest(any_fn, closest_fn, o, l, b, key, combo_fn=None,
         return jax.lax.sort((perm, *padded), num_keys=1)[1:]
 
     sizes = _bucket_sizes(n) if compact else [n]
-    if _FIXED_BUCKET and compact:
+    if static_bucket_frac is not None and compact:
+        # Frame-lagged static bucket (engine.renderer bucket scheduling):
+        # the caller chose this vertex's bucket from the previous frame's
+        # live counts, so no data-dependent lax.switch serializes the frame.
+        outs = run(_frac_to_bucket(static_bucket_frac, n))
+    elif _FIXED_BUCKET and compact:
         # Debug/microbench knob (NEB_FIXED_BUCKET=k): skip the live-count
         # switch and always dispatch the n/k bucket.  NOT exact unless the
         # live count stays under n/k -- for isolating the data-dependent

@@ -55,3 +55,43 @@ def helmet_scene():
     from nebulae_tpu.core.scene import load_scene
 
     return load_scene(HELMET, max_texture_dim=512)
+
+
+# ---------------------------------------------------------------------------
+# Fast subset (-m fast, <2 min): inner-loop smoke coverage across every
+# subsystem; the full suite stays the pre-commit gate.  Slow entries chosen
+# from measured durations (pytest --durations, round 5).
+SLOW_MODULES = {
+    "test_multiprocess",   # spawns worker processes (~200 s)
+    "test_refit",          # renderer-level rebuild comparisons (~200 s)
+    "test_pipeline",       # CPU-oracle allclose + SVGF grad (~170 s)
+    "test_nrc",            # online-training convergence loops (~110 s)
+    "test_pallas_kernel",  # chunk/paged/wide parity sweeps (~140 s)
+    "test_mips",           # mip-chain renders (~80 s)
+    "test_pallas_svgf",    # a-trous parity incl. gradients (~110 s)
+    "test_bucket_schedule",  # scheduled-vs-exact renders (~180 s)
+}
+SLOW_TESTS = {
+    "test_collective_volume_and_shard_balance",
+    "test_nrc_train_step_collectives_bounded",
+    "test_sharded_train_step_grads_match",
+    "test_resize_keeps_nrc_cache",
+    "test_runtime_controls",
+    "test_moving_camera_accumulates_with_reprojection",
+    "test_helmet_ibl_material_gradients",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: excluded from the -m fast inner-loop subset")
+    config.addinivalue_line("markers", "fast: inner-loop smoke subset (<2 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        mod = it.module.__name__.rsplit(".", 1)[-1]
+        base = it.name.split("[")[0]
+        if mod in SLOW_MODULES or base in SLOW_TESTS:
+            it.add_marker(pytest.mark.slow)
+        else:
+            it.add_marker(pytest.mark.fast)

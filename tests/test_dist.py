@@ -192,3 +192,81 @@ def test_collective_volume_and_shard_balance(cornell_scene, cornell_camera):
     # Shard balance: equal rows per device == equal per-device ray counts.
     bal = shard_balance(tgt)
     assert bal["balanced"] and bal["shards"] == 8, bal
+
+
+def test_nrc_train_step_collectives_bounded(cornell_scene, cornell_camera):
+    """The NRC-ON sharded train step's collective profile (VERDICT r4 #5).
+
+    The >=80% scaling gate depends on the NRC step, which adds the in-frame
+    cache training (reduced-res pass + adam loop) and the full-res query
+    pass.  Design contract pinned here:
+
+      * the cache-training subgraph REPLICATES (camera/scene/frame inputs
+        are replicated, so every device computes identical records and
+        identical cache updates -- zero ICI traffic, redundant compute at
+        the reference's bounded 16K-records/iteration scale);
+      * material/sun gradient all-reduce is present (the psum over rays);
+      * NO f32 all-gather exists: neither training records nor wavefront
+        payload may ride collectives (the only expected all-gathers are
+        small s32 gather-index replications, bounded by the compacted
+        live-lane count);
+      * total collective volume stays bounded per pixel.
+    """
+    from functools import partial
+
+    from nebulae_tpu.dist.mesh import make_mesh, replicated, shard_frame_state, shard_pixels
+    from nebulae_tpu.dist.stats import collective_stats
+    from nebulae_tpu.engine.renderer import init_frame_state
+    from nebulae_tpu.engine.train import render_loss, split_scene_params
+    from nebulae_tpu.passes.gbuffer import make_camera_arrays
+
+    scene = {k: jnp.asarray(v) for k, v in cornell_scene.flat.device_arrays().items()}
+    mesh = make_mesh(8)
+    rep = replicated(mesh)
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=False,
+        enable_tonemap=False, sort_rays=True, sort_segments=8,
+        enable_nrc=True, nrc_max_path_vertices=3,
+    )
+    params, frozen = split_scene_params(dict(scene))
+    params["sun"] = jax.tree.map(jnp.asarray, SunLight.default(np))
+    cam = make_camera_arrays(cornell_camera, cfg.width, cfg.height)
+    state = init_frame_state(cfg)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def grads_fn(params, state, target):
+        return jax.value_and_grad(
+            partial(render_loss, cfg=cfg, train_sun=True), has_aux=True
+        )(params, frozen, None, cam, state, target)
+
+    in_sh = (
+        jax.tree.map(lambda _: rep, params),
+        shard_frame_state(mesh, state),
+        shard_pixels(mesh, 3, axis=0),
+    )
+    args = (
+        params,
+        jax.device_put(state, in_sh[1]),
+        jax.device_put(target, in_sh[2]),
+    )
+    compiled = jax.jit(grads_fn, in_shardings=in_sh).lower(*args).compile()
+    stats = collective_stats(compiled)
+    n_pix = 32 * 32
+
+    # (a) bounded volume: measured 74 KB (= 72 B/pixel) -- index metadata +
+    # gradient all-reduces.  Anything >128 B/pixel means records or
+    # wavefront payload started riding collectives.
+    assert stats["total_bytes"] <= 128 * n_pix, stats
+
+    # (b) the material/sun gradient psum must exist.
+    assert stats.get("all-reduce", {"count": 0})["count"] > 0, stats
+
+    # (c) NO f32 all-gather: training records and ray payload are f32; the
+    # only tolerated all-gathers are small s32 index replications.
+    import re
+
+    for line in compiled.as_text().splitlines():
+        s = line.lstrip()
+        m = re.match(r"%?[\w.\-]+ = (\([^)]*\)|[^ ]+) all-gather\(", s)
+        if m and re.search(r"\bf(?:32|16)\[", m.group(1)):
+            raise AssertionError(f"f32 payload all-gather in NRC step: {s[:160]}")

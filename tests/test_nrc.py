@@ -254,3 +254,16 @@ def test_memory_footprint_accounting():
     # adam holds two moments (+ counts): at least 2x the param bytes
     assert fp["opt_state"] >= 2 * fp["params"]
     assert fp["total"] == fp["params"] + fp["ema_params"] + fp["opt_state"]
+
+
+def test_nrc_quality_beats_equal_budget():
+    """Quality-per-ray: at an equal frame budget in an interior scene, the
+    trained cache's accumulation lands closer to the long-path truth than
+    the cache-off render (the reference's entire reason for integrating
+    NRC, NvRtxgiNRC.cpp:145-153).  Settings = the bench probe defaults
+    (utils.nrc_quality); margin guards CPU/TPU RNG-noise wiggle."""
+    from nebulae_tpu.utils.nrc_quality import nrc_quality_probe
+
+    r = nrc_quality_probe()
+    assert np.isfinite([r["mse_nrc_on"], r["mse_nrc_off"]]).all()
+    assert r["ratio"] < 0.9, r

@@ -260,3 +260,61 @@ def test_renderer_update_instances(cornell_scene):
     r2 = Renderer(fs2, cfg)
     img_rebuild = np.asarray(r2.render(cam)["hdr"])
     np.testing.assert_allclose(img_inst, img_rebuild, rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_update_geometry_chunked_autoroutes(cornell_scene, cornell_camera):
+    """update_geometry on a subtree-CHUNKED scene must not raise: the engine
+    auto-routes the traversal tables to the demand-paged layout (one-time
+    repack) and then refits, keeping the reference's any-size TLAS-refit
+    contract (RTAccelerationStructureBuilder.cpp:99-131) reachable from
+    every public chunk_mode.  Chunks are injected at small scale (the
+    production gate only chunks past 160k tris)."""
+    import numpy as np
+
+    from nebulae_tpu.bvh import build_bvh_fast
+    from nebulae_tpu.config import RenderConfig
+    from nebulae_tpu.core.scene import face_normals
+    from nebulae_tpu.engine.renderer import Renderer, init_frame_state
+    from nebulae_tpu.kernels.pallas_trace import pack_bvh_chunks
+
+    fs = cornell_scene.flat
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=2, enable_svgf=False, enable_tonemap=False,
+        tracer="pallas", bruteforce_max_tris=0, chunk_mode="subtree",
+    )
+    r = Renderer(fs, cfg)
+    # Rebuild this small scene as if it were chunked-scale: subtree chunks
+    # replace the packed single table (what the >160k path produces).
+    import jax.numpy as jnp
+
+    flat_bvh = build_bvh_fast(fs.tri_pos, max_leaf=cfg.bvh_max_leaf)
+    chunks = pack_bvh_chunks(
+        flat_bvh, fs.tri_pos, wide=4, tri_group=cfg.bvh_tri_group, max_tris=16
+    )
+    assert len(chunks) >= 2, "scene must actually chunk for this test"
+    import jax
+
+    for k in ("fat4nodes", "fatnodes", "tris", "nodes"):
+        r.bvh.pop(k, None)
+    r.bvh.update({k: jnp.asarray(v) for k, v in flat_bvh.device_arrays().items()})
+    r.bvh["chunks"] = [jax.tree.map(jnp.asarray, c) for c in chunks]
+    r._build_jits()
+    img_chunked = np.asarray(r.render(cornell_camera)["hdr"])
+
+    moved = np.asarray(fs.tri_pos).copy()
+    ext = float((fs.aabb_max - fs.aabb_min).max())
+    moved[..., 1] += 0.04 * ext * np.cos(moved[..., 0] / max(ext, 1e-6))
+
+    r.update_geometry(moved)  # must NOT raise; auto-routes to paged
+    assert "chunks" not in r.bvh and "fat4nodes" in r.bvh
+    r.state = init_frame_state(cfg)
+    img_refit = np.asarray(r.render(cornell_camera)["hdr"])
+
+    fs2 = type(fs)(**{k: v for k, v in fs.__dict__.items() if not k.startswith("_")})
+    fs2.tri_pos = moved.astype(np.float32)
+    fs2.tri_face_nrm = face_normals(fs2.tri_pos, fs2.tri_nrm)
+    r2 = Renderer(fs2, cfg)
+    img_rebuild = np.asarray(r2.render(cornell_camera)["hdr"])
+
+    assert np.abs(img_refit - img_chunked).max() > 1e-3  # scene moved
+    np.testing.assert_allclose(img_refit, img_rebuild, rtol=1e-4, atol=1e-5)
