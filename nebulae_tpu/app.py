@@ -69,6 +69,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="large-scene traversal strategy past the VMEM-resident "
                         "table budget (auto picks; paged = HBM-streamed tris, "
                         "refittable at any size)")
+    p.add_argument("--preview", type=int, default=None, metavar="PORT",
+                   help="serve the latest frame at http://127.0.0.1:PORT/ "
+                        "(live view; pair with --control-file for knobs)")
+    p.add_argument("--bucket-scheduling", action="store_true",
+                   help="frame-lagged static compaction buckets (no in-graph "
+                        "live-count switch; one re-jit per schedule change)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None, help="checkpoint dir to restore state from")
@@ -197,6 +203,7 @@ def main(argv=None) -> int:
         nrc_learn_irradiance=not args.nrc_raw_radiance,
         bvh_wide=args.bvh_wide,
         chunk_mode=args.chunk_mode,
+        bucket_scheduling=args.bucket_scheduling,
     )
 
     def _vec3(s):
@@ -292,6 +299,12 @@ def main(argv=None) -> int:
     )
     writer = FrameWriter(args.out)
     timer = FrameTimer()
+    preview = None
+    if args.preview is not None and is_host0:
+        from nebulae_tpu.utils.display import PreviewServer
+
+        preview = PreviewServer(port=args.preview)
+        log_info(f"live preview: http://127.0.0.1:{preview.port}/")
 
     # Failure detection (Nsight Aftermath analogue, SURVEY.md section 5): any
     # uncaught exception or hard crash snapshots the frame state + metadata.
@@ -365,8 +378,12 @@ def main(argv=None) -> int:
                 ldr_np = present_gather(out["ldr"])
                 if is_host0:
                     writer.present(ldr_np)
+                    if preview is not None:
+                        preview.update(ldr_np)
             else:
                 writer.present(out["ldr"])
+                if preview is not None:
+                    preview.update(out["ldr"])
             timer.tick()
             heartbeat.touch()
             metrics.scalar("frame_ms", (_time.perf_counter() - t0) * 1e3)
@@ -380,12 +397,15 @@ def main(argv=None) -> int:
 
                 if distributed:
                     # One consistent global snapshot: every process gathers
-                    # (collective), process 0 serializes.
+                    # (collective), then EVERY process enters the orbax save
+                    # -- orbax synchronizes multihost saves with global
+                    # barriers internally, so a host-0-only call deadlocks
+                    # the cluster (caught by the kill/resume test); the
+                    # primary host does the actual writing.
                     from nebulae_tpu.dist.runner import gather_state
 
                     host_state = gather_state(renderer.state)
-                    if is_host0:
-                        save_checkpoint(args.checkpoint_dir, host_state, step=i + 1)
+                    save_checkpoint(args.checkpoint_dir, host_state, step=i + 1)
                 else:
                     save_checkpoint(args.checkpoint_dir, renderer.state, step=i + 1)
 

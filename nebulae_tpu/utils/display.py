@@ -82,3 +82,84 @@ class FrameWriter:
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+
+
+class PreviewServer:
+    """Live preview over localhost HTTP: the last ImGui-parity gap.
+
+    The reference is a windowed app -- you *watch* the image while steering
+    it with the panels (/root/reference/src/nri/imgui/UiContext.h:22-62).
+    Headless parity: `PreviewServer` serves the latest presented frame at
+    http://127.0.0.1:<port>/ (auto-refreshing page; /frame.png is the raw
+    image), and `--control-file` is the knob half of the panel.  The server
+    runs on a daemon thread; `update()` just swaps a PNG byte buffer, so
+    the render loop never blocks on a viewer.
+    """
+
+    def __init__(self, port: int = 8642, host: str = "127.0.0.1"):
+        import http.server
+        import io
+
+        self._lock = threading.Lock()
+        self._png: bytes | None = None
+        self._frame = 0
+        server_self = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    with server_self._lock:
+                        data = server_self._png
+                    if data is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/" or self.path.startswith("/index"):
+                    body = (
+                        "<!doctype html><title>nebulae preview</title>"
+                        "<body style='margin:0;background:#111'>"
+                        "<img id=f style='width:100vw;image-rendering:pixelated'>"
+                        "<script>const i=document.getElementById('f');"
+                        "setInterval(()=>{i.src='/frame.png?t='+Date.now();},250);"
+                        "</script></body>"
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def update(self, ldr_or_u8) -> None:
+        """Swap in a new frame (display-linear [0,1] float or sRGB u8)."""
+        import io
+
+        from PIL import Image
+
+        arr = np.asarray(ldr_or_u8)
+        data = arr if arr.dtype == np.uint8 else ldr_to_srgb_u8(arr)
+        buf = io.BytesIO()
+        Image.fromarray(data).save(buf, format="PNG")
+        with self._lock:
+            self._png = buf.getvalue()
+            self._frame += 1
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -116,3 +116,114 @@ def test_two_process_four_device_train_step():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
         assert "MP_OK" in out, out
+
+
+def test_kill_resume_continues_bit_consistent(tmp_path):
+    """Elastic recovery (SURVEY.md section 5 -- green-field obligation): a
+    2-process NRC training run is killed mid-run after a coordinated
+    checkpoint lands; the cluster restarts with --resume from that
+    checkpoint and the continued frames are bit-consistent with an
+    uninterrupted run (same frame counter -> same RNG streams, SVGF history
+    and cache state restored).  The reference has no persistence at all; a
+    pod job that loses a host restarts exactly this way."""
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    scene = "/root/reference/assets/cornell_box/cornell_box.gltf"
+    base_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def common(extra):
+        return [
+            sys.executable, "-m", "nebulae_tpu.app", "--scene", scene,
+            "--width", "32", "--height", "32", "--bounces", "2", "--spp", "1",
+            "--nrc", "--metrics", "off",
+        ] + extra
+
+    def launch(extra, port):
+        return [
+            subprocess.Popen(
+                common(extra + [
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ]),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=base_env, cwd=cwd,
+            )
+            for pid in range(2)
+        ]
+
+    ckpt = tmp_path / "ckpt"
+    step_dir = ckpt / "step_00000002"
+
+    # --- Run A: long run, checkpoint after frame 2; KILL once it lands.
+    procs = launch(
+        ["--frames", "64", "--out", str(tmp_path / "a"),
+         "--checkpoint-dir", str(ckpt), "--checkpoint-every", "2"],
+        _free_port(),
+    )
+    try:
+        deadline = time.time() + 600
+        while not step_dir.exists():
+            if time.time() > deadline:
+                pytest.fail("checkpoint never landed")
+            for p in procs:
+                if p.poll() is not None:
+                    out, _ = p.communicate(timeout=10)
+                    pytest.fail(f"worker died before checkpoint:\n{out}")
+            time.sleep(1.0)
+        time.sleep(2.0)  # orbax rename is atomic; settle the metadata write
+    finally:
+        # Kill worker 1 first (the mid-training failure), then worker 0
+        # (which cannot make collective progress without its peer -- the
+        # whole job restarts, as on a real pod).
+        for p in reversed(procs):
+            p.kill()
+        for p in procs:
+            p.communicate(timeout=60)
+
+    # --- Run B: restart the cluster, resume from the checkpoint, 2 frames.
+    out_b = tmp_path / "b"
+    procs = launch(
+        ["--frames", "2", "--out", str(out_b), "--resume", str(step_dir)],
+        _free_port(),
+    )
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=780)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("resume workers timed out:\n" + "\n---\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"resume worker failed:\n{out}"
+
+    # --- Run C: uninterrupted 4-frame reference.
+    out_c = tmp_path / "c"
+    procs = launch(["--frames", "4", "--out", str(out_c)], _free_port())
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=780)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("reference workers timed out:\n" + "\n---\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"reference worker failed:\n{out}"
+
+    # Resumed frames 0,1 == uninterrupted frames 2,3 (1 u8 step tolerance
+    # at the quantization boundary, as in the sharded==single contract).
+    for resumed, reference in (("frame_00000.png", "frame_00002.png"),
+                               ("frame_00001.png", "frame_00003.png")):
+        a = np.asarray(Image.open(out_b / resumed), np.int16)
+        b = np.asarray(Image.open(out_c / reference), np.int16)
+        assert np.abs(a - b).max() <= 1, (resumed, reference)

@@ -201,3 +201,38 @@ def test_app_accumulate(tmp_path):
     )
     assert rc == 0
     assert len(list((tmp_path / "still").glob("*.png"))) == 1
+
+
+def test_preview_server_serves_latest_frame():
+    """Live preview (the last ImGui-parity gap): the HTTP server returns the
+    page and the most recently presented frame."""
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+    import io
+
+    from nebulae_tpu.utils.display import PreviewServer, ldr_to_srgb_u8
+
+    srv = PreviewServer(port=0)  # ephemeral port
+    try:
+        img = np.zeros((8, 8, 3), np.float32)
+        img[:, :4] = [1.0, 0.0, 0.0]
+        srv.update(img)
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=10
+        ).read()
+        assert b"frame.png" in page
+        raw = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/frame.png", timeout=10
+        ).read()
+        got = np.asarray(Image.open(io.BytesIO(raw)))
+        np.testing.assert_array_equal(got, ldr_to_srgb_u8(img))
+        # update swaps the buffer
+        srv.update(np.ones((4, 4, 3), np.float32))
+        raw2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/frame.png", timeout=10
+        ).read()
+        assert np.asarray(Image.open(io.BytesIO(raw2))).shape == (4, 4, 3)
+    finally:
+        srv.close()
