@@ -64,6 +64,9 @@ def main() -> None:
         # (pathtracer.hlsl:299-395).  The compact-domain reconstruct keeps
         # the texture gathers scaled to the live count.
         fast_bounce_shading=False,
+        # Frame-lagged static compaction buckets (engine.renderer): the
+        # production frame pacing -- no in-graph live-count switch.
+        bucket_scheduling=True,
     )
     fs = helmet_field(3, 3, max_texture_dim=512)
     renderer = Renderer(fs, cfg)
@@ -77,8 +80,11 @@ def main() -> None:
     # NOTE: timings force a device->host scalar each frame (float(mean));
     # on the tunneled platform block_until_ready alone has been observed to
     # return before device completion, yielding impossible numbers.
-    out = renderer.render(cam_obj)
-    float(out["ldr"].mean())
+    # 3 warmup frames: frame 0 is the full-width bucket bootstrap, frame 1
+    # compiles the steady-state schedule, frame 2 confirms it is stable.
+    for _ in range(3):
+        out = renderer.render(cam_obj)
+        float(out["ldr"].mean())
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
@@ -88,9 +94,19 @@ def main() -> None:
     fwd_mrays = rays_per_frame / fwd_s / 1e6
 
     # --- PRIMARY: forward + backward (full train step, headline config) ---
+    # The train step is driven directly (no host adaptive loop), so bake the
+    # forward phase's converged bucket schedule in statically.
+    from dataclasses import replace as _replace0
+
+    from nebulae_tpu.engine.renderer import derive_bucket_schedule
+
+    sched = derive_bucket_schedule(
+        np.asarray(renderer.state["live_counts"]), n_pix, cfg.sort_segments
+    )
+    cfg_train = _replace0(cfg, bucket_schedule=sched)
     params, frozen = split_scene_params(renderer.scene)
     params["sun"] = renderer.sun
-    step, optimizer = make_train_step(cfg, frozen, renderer.bvh)
+    step, optimizer = make_train_step(cfg_train, frozen, renderer.bvh)
     opt_state = optimizer.init(params)
     state = init_frame_state(cfg)
     target = jnp.zeros((height, width, 3), jnp.float32)
@@ -115,6 +131,7 @@ def main() -> None:
     R01_FWDBWD_MRAYS = 40.66
     detail = {
         "headline_config": "full_texture_bounce_shading",
+        "bucket_schedule": list(sched),
         "fwd_mrays_s": round(fwd_mrays, 2),
         "fwd_frame_ms": round(fwd_s * 1e3, 1),
         "fwdbwd_step_ms": round(fwdbwd_s * 1e3, 1),
@@ -149,8 +166,9 @@ def main() -> None:
     try:
         cfg_fast = _replace(cfg, fast_bounce_shading=True)
         rfast = Renderer(fs, cfg_fast, bvh=renderer.bvh)
-        out = rfast.render(cam_obj)
-        float(out["ldr"].mean())
+        for _ in range(3):  # schedule warmup (see headline)
+            out = rfast.render(cam_obj)
+            float(out["ldr"].mean())
         t0 = time.perf_counter()
         for _ in range(3):
             out = rfast.render(cam_obj)
@@ -158,7 +176,10 @@ def main() -> None:
         fast_fwd_s = (time.perf_counter() - t0) / 3
         pf, ff = split_scene_params(rfast.scene)
         pf["sun"] = rfast.sun
-        stepf, optf = make_train_step(cfg_fast, ff, rfast.bvh)
+        sched_f = derive_bucket_schedule(
+            np.asarray(rfast.state["live_counts"]), n_pix, cfg.sort_segments
+        )
+        stepf, optf = make_train_step(_replace(cfg_fast, bucket_schedule=sched_f), ff, rfast.bvh)
         osf = optf.init(pf)
         stf = init_frame_state(cfg_fast)
         jstepf = jax.jit(stepf)
@@ -194,11 +215,12 @@ def main() -> None:
             rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
             return Camera(eye=tgt + rot @ rel, target=tgt, fov_y_deg=cam_obj.fov_y_deg)
 
-        out = renderer.render(orbit_cam(0))
-        float(out["ldr"].mean())
+        for i in range(2):  # absorb a possible schedule re-jit under motion
+            out = renderer.render(orbit_cam(i))
+            float(out["ldr"].mean())
         t0 = time.perf_counter()
         for i in range(3):
-            out = renderer.render(orbit_cam(i + 1))
+            out = renderer.render(orbit_cam(i + 2))
             float(out["ldr"].mean())
         fwd_orbit_s = (time.perf_counter() - t0) / 3
         detail["fwd_orbit_frame_ms"] = round(fwd_orbit_s * 1e3, 1)
@@ -211,8 +233,9 @@ def main() -> None:
     try:
         cfg_nrc = _replace(cfg, enable_nrc=True)
         renderer_nrc = Renderer(fs, cfg_nrc, bvh=renderer.bvh)
-        out = renderer_nrc.render(cam_obj)
-        float(out["ldr"].mean())
+        for _ in range(3):  # schedule warmup
+            out = renderer_nrc.render(cam_obj)
+            float(out["ldr"].mean())
         t0 = time.perf_counter()
         for _ in range(3):
             out = renderer_nrc.render(cam_obj)
@@ -232,8 +255,9 @@ def main() -> None:
         fsn = helmet_field(grid, grid, max_texture_dim=512)
         rn = Renderer(fsn, cfg_probe or cfg)
         camn = bench_camera(fsn)
-        out = rn.render(camn)
-        float(out["ldr"].mean())
+        for _ in range(3):  # schedule warmup
+            out = rn.render(camn)
+            float(out["ldr"].mean())
         t0 = time.perf_counter()
         for _ in range(iters):
             out = rn.render(camn)

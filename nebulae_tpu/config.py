@@ -150,6 +150,12 @@ class RenderConfig:
     # for the bounce loop, entry max_bounces-1 for the final NEE shadow
     # trace.  1 = full width (always exact).  None = live-count switch.
     bucket_schedule: tuple | None = None
+    # How often (frames) the adaptive scheduler reads the live counts back
+    # to the host.  Every readback is a device->host transfer that costs
+    # fixed per-call latency on a tunneled runtime (measured ~25 ms/frame
+    # when read every frame on v5e-over-tunnel); liveness drifts slowly, so
+    # the schedule is re-derived periodically and reused in between.
+    bucket_check_every: int = 8
     # Secondary bounces shade with face normals + texture-averaged material
     # values (no per-hit texture fetches) -- large speedup, tiny GI bias
     fast_bounce_shading: bool = False

@@ -261,12 +261,16 @@ def render_frame(scene: dict, bvh: dict | None, sun: SunLight, cam: dict, state:
     return outputs, new_state
 
 
-# Headroom for the frame-lagged bucket schedule: a vertex's static bucket
-# must cover at least live_count / SCHEDULE_MARGIN lanes, so the wavefront
-# can grow ~33% frame-over-frame before an overflow (which drops the excess
-# live lanes to miss records for that one frame; the schedule self-corrects
-# on the next).  The margin also provides switching hysteresis.
-SCHEDULE_MARGIN = 0.75
+# Headroom for the frame-lagged bucket schedule: a bucket is only chosen if
+# it covers live_count / SCHEDULE_MARGIN lanes, so the wavefront can grow
+# ~11% frame-over-frame before an overflow (which drops the excess live
+# lanes to miss records for that one frame; the schedule self-corrects on
+# the next).  The margin must stay NEAR 1: the fraction ladder is coarse
+# (4x steps), so a conservative margin bumps a vertex a whole 4x bucket up
+# -- measured on v5e, a 0.75 margin pushed a 21%-live bounce to FULL width
+# and cost +40 ms/frame vs the live-count switch.  0.9 keeps the bucket the
+# switch would pick while still absorbing slow drift.
+SCHEDULE_MARGIN = 0.9
 
 
 def derive_bucket_schedule(counts, n_lanes: int, segments: int = 1,
@@ -441,6 +445,8 @@ class Renderer:
     def _build_jits(self):
         self._sched_jits = {}
         self._frames_rendered = 0  # schedule bootstrap restarts on re-jit
+        self._active_sched = None
+        self._sched_checked_at = -1
         if self.cfg.bucket_scheduling and self.cfg.bucket_schedule is None:
             # Frame 0 bootstrap: full-width buckets -- always exact, no
             # switch, and the cheapest big program to compile.  Live counts
@@ -459,12 +465,29 @@ class Renderer:
         if not (self.cfg.bucket_scheduling and self.cfg.bucket_schedule is None):
             return self._jit_frame
         counts = self.state.get("live_counts")
-        if counts is None or getattr(self, "_frames_rendered", 0) == 0:
+        frames = getattr(self, "_frames_rendered", 0)
+        if counts is None or frames == 0:
             return self._jit_frame  # frame 0: full-width bootstrap
+        # Periodic re-derivation: the counts readback is a device->host
+        # transfer with fixed per-call latency (measured ~25 ms/frame when
+        # read every frame through the v5e tunnel -- it erased the win).
+        # Liveness drifts slowly, so check every bucket_check_every frames
+        # and reuse the cached schedule in between; frames 1-2 always check
+        # so the bootstrap hands off immediately.
+        cached = getattr(self, "_active_sched", None)
+        checked_at = getattr(self, "_sched_checked_at", -1)
+        if (
+            cached is not None
+            and frames - checked_at < max(self.cfg.bucket_check_every, 1)
+            and frames > 2
+        ):
+            return self._sched_jits[cached]
         sched = derive_bucket_schedule(
             np.asarray(counts), self.cfg.width * self.cfg.height,
             self.cfg.sort_segments,
         )
+        self._active_sched = sched
+        self._sched_checked_at = frames
         fn = self._sched_jits.get(sched)
         if fn is None:
             from dataclasses import replace

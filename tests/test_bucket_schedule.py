@@ -42,10 +42,12 @@ def test_derive_bucket_schedule_margins():
     assert sched[0] == 64
     assert sched[1] == 4  # n/6 fits n/4 with margin
     assert sched[2] == 1 and sched[3] == 1
-    # margin: a count just above 0.75 * bucket must bump to the next size
+    # margin: a count just above SCHEDULE_MARGIN * bucket must bump a size
+    from nebulae_tpu.engine.renderer import SCHEDULE_MARGIN
+
     b16 = _frac_to_bucket(16, n)
-    assert derive_bucket_schedule([int(0.75 * b16) + 1], n)[0] == 4
-    assert derive_bucket_schedule([int(0.75 * b16) - 1], n)[0] == 16
+    assert derive_bucket_schedule([int(SCHEDULE_MARGIN * b16) + 1], n)[0] == 4
+    assert derive_bucket_schedule([int(SCHEDULE_MARGIN * b16) - 1], n)[0] == 16
     # segment-local: fractions apply to the per-segment lane count
     assert derive_bucket_schedule([100], n, segments=4)[0] == 64
 
