@@ -482,6 +482,11 @@ class Renderer:
             and frames > 2
         ):
             return self._sched_jits[cached]
+        if getattr(counts, "is_fully_addressable", True) is False:
+            # Multi-process mesh: the replicated global array is not fully
+            # addressable; every process reads its local replica (identical
+            # values -> identical derived schedule on every host).
+            counts = counts.addressable_data(0)
         sched = derive_bucket_schedule(
             np.asarray(counts), self.cfg.width * self.cfg.height,
             self.cfg.sort_segments,

@@ -44,6 +44,10 @@ def test_two_process_app_render_matches_single(tmp_path):
         sys.executable, "-m", "nebulae_tpu.app", "--scene", scene,
         "--width", "32", "--height", "32", "--frames", "2", "--bounces", "2",
         "--spp", "1", "--metrics", "off", "--orbit-speed", "3.0",
+        # Frame-lagged bucket scheduling through the multi-process path:
+        # frame 0 is the full-width bootstrap on both sides, frame 1 derives
+        # the schedule from replicated counts (identical on every host).
+        "--bucket-scheduling",
     ]
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
