@@ -144,6 +144,79 @@ def sun_disk_sample(u1, u2, sun_dir, tan_half_angle, xp=None):
     return nmath.normalize(d)
 
 
+def sample_vndf_ggx(u1, u2, n, v, roughness, xp=None):
+    """Sample a GGX half-vector from the visible-normal distribution (VNDF,
+    Heitz 2018 spherical-caps form) -- the specular importance sampler the
+    reference ships but leaves unused in its live path
+    (brdf.hlsli:149-184, call site commented at pathtracer.hlsl:194); kept
+    available here for the same parity.  Reflecting `v` about the returned
+    half-vector gives the specular bounce direction.
+
+    n [.,3] unit shading normal; v [.,3] unit direction TOWARD the viewer.
+    Returns h [.,3] (unit).  pdf = G1(v) D(h) (v.h) / (v.n) / (4 (v.h)) =
+    G1(v) D(h) / (4 (v.n)) -- see vndf_pdf."""
+    xp = xp or _xp(n)
+    alpha = roughness * roughness
+    t, b = nmath.build_orthonormal_basis(n, xp)
+    # view into tangent space (z = n)
+    vx = nmath.dot(v, t)[..., 0]
+    vy = nmath.dot(v, b)[..., 0]
+    vz = xp.clip(nmath.dot(v, n)[..., 0], 1e-6, 1.0)
+    # stretch by the roughness (the GGX ellipsoid -> hemisphere warp)
+    a_ = alpha if not hasattr(alpha, "shape") else alpha
+    vh = nmath.normalize(xp.stack([a_ * vx, a_ * vy, vz], axis=-1))
+    # orthonormal frame around vh (tangent-space z up)
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = 1.0 / xp.sqrt(xp.maximum(lensq, 1e-20))
+    t1 = xp.where(
+        (lensq > 1e-12)[..., None],
+        xp.stack([-vh[..., 1] * inv, vh[..., 0] * inv, xp.zeros_like(inv)], axis=-1),
+        xp.broadcast_to(xp.asarray([1.0, 0.0, 0.0], vh.dtype), vh.shape),
+    )
+    t2 = nmath.cross(vh, t1)
+    # sample the visible hemisphere (projected disk with z-tilt)
+    r = xp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    p1 = r * xp.cos(phi)
+    p2 = r * xp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * xp.sqrt(xp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = xp.sqrt(xp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    # unstretch back to the GGX ellipsoid
+    h_ts = nmath.normalize(
+        xp.stack(
+            [a_ * nh[..., 0], a_ * nh[..., 1], xp.maximum(nh[..., 2], 1e-6)], axis=-1
+        )
+    )
+    return nmath.normalize(
+        h_ts[..., 0:1] * t + h_ts[..., 1:2] * b + h_ts[..., 2:3] * n
+    )
+
+
+def smith_g1_exact(n_dot_x, alpha, xp):
+    """Exact Smith height-correlated G1 for GGX (not the Schlick-GGX
+    approximation the shading path uses) -- the VNDF pdf must use this form
+    to integrate exactly against sample_vndf_ggx."""
+    a2 = alpha * alpha
+    c = xp.clip(n_dot_x, 1e-6, 1.0)
+    return 2.0 * c / (c + xp.sqrt(a2 + (1.0 - a2) * c * c))
+
+
+def vndf_pdf(n, v, h, roughness, xp=None):
+    """Solid-angle pdf of the reflected direction l = reflect(-v, h) under
+    sample_vndf_ggx: G1_exact(v) D(h) / (4 (n.v))."""
+    xp = xp or _xp(n)
+    alpha = roughness * roughness
+    n_dot_v = xp.clip(nmath.dot(n, v)[..., 0], 1e-6, 1.0)
+    n_dot_h = xp.clip(nmath.dot(n, h)[..., 0], 0.0, 1.0)
+    return (
+        smith_g1_exact(n_dot_v, alpha, xp)
+        * ggx_ndf(n_dot_h, alpha, xp)
+        / (4.0 * n_dot_v)
+    )
+
+
 def offset_ray_origin(p, n, scale: float = 1e-4):
     """Self-intersection avoidance: offset along the geometric normal.
 
