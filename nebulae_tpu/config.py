@@ -140,10 +140,12 @@ class RenderConfig:
     # bucket schedule into the program.  A schedule change swaps the jitted
     # program (cached per schedule; steady-state frames reuse one program).
     # Buckets are chosen with headroom (engine.renderer SCHEDULE_MARGIN); if
-    # the wavefront still outgrows a bucket mid-frame, the overflowing live
-    # lanes read as misses for ONE frame and the schedule self-corrects next
-    # frame (the same one-frame lag the reference accepts for its training
-    # dims).  Exactness-critical runs (tests, goldens) keep this off.
+    # the wavefront still outgrows a bucket, the overflowing live lanes read
+    # as misses until the NEXT periodic count check re-derives the schedule
+    # -- up to bucket_check_every frames of bounded bias (lower it for
+    # fast-changing scenes; the reference accepts the same frame-lagged
+    # error in its training dims).  Exactness-critical runs (tests,
+    # goldens) keep this off.
     bucket_scheduling: bool = False
     # Explicit static schedule (advanced / derived by the engine): one
     # compaction-fraction divisor per path vertex -- entries 0..max_bounces-2

@@ -163,8 +163,7 @@ def sample_vndf_ggx(u1, u2, n, v, roughness, xp=None):
     vy = nmath.dot(v, b)[..., 0]
     vz = xp.clip(nmath.dot(v, n)[..., 0], 1e-6, 1.0)
     # stretch by the roughness (the GGX ellipsoid -> hemisphere warp)
-    a_ = alpha if not hasattr(alpha, "shape") else alpha
-    vh = nmath.normalize(xp.stack([a_ * vx, a_ * vy, vz], axis=-1))
+    vh = nmath.normalize(xp.stack([alpha * vx, alpha * vy, vz], axis=-1))
     # orthonormal frame around vh (tangent-space z up)
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
     inv = 1.0 / xp.sqrt(xp.maximum(lensq, 1e-20))
@@ -186,7 +185,7 @@ def sample_vndf_ggx(u1, u2, n, v, roughness, xp=None):
     # unstretch back to the GGX ellipsoid
     h_ts = nmath.normalize(
         xp.stack(
-            [a_ * nh[..., 0], a_ * nh[..., 1], xp.maximum(nh[..., 2], 1e-6)], axis=-1
+            [alpha * nh[..., 0], alpha * nh[..., 1], xp.maximum(nh[..., 2], 1e-6)], axis=-1
         )
     )
     return nmath.normalize(

@@ -478,6 +478,7 @@ class Renderer:
         checked_at = getattr(self, "_sched_checked_at", -1)
         if (
             cached is not None
+            and cached in self._sched_jits
             and frames - checked_at < max(self.cfg.bucket_check_every, 1)
             and frames > 2
         ):
@@ -498,6 +499,19 @@ class Renderer:
             from dataclasses import replace
 
             fn = self._make_jit(replace(self.cfg, bucket_schedule=sched))
+            self._sched_jits[sched] = fn
+            # Bounded program cache: a long dynamic-scene run can drift
+            # through many distinct schedules; evict the oldest compiled
+            # programs past a small working set (revisits recompile via the
+            # persistent XLA compile cache, which makes that cheap).
+            while len(self._sched_jits) > 8:
+                oldest = next(iter(self._sched_jits))
+                if oldest == sched:
+                    break
+                del self._sched_jits[oldest]
+        else:
+            # LRU refresh (dict preserves insertion order).
+            self._sched_jits.pop(sched, None)
             self._sched_jits[sched] = fn
         return fn
 

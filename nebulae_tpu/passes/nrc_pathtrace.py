@@ -146,8 +146,6 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
         qrec0,
     )
     if cfg.max_bounces > 1:
-        from functools import partial as _partial
-
         n_it = cfg.max_bounces - 1
         if cfg.nrc_unroll_query:
             # Unrolled bounce loop: no XLA while -- memory-space assignment
@@ -159,22 +157,12 @@ def path_trace_nrc_query(scene, gbuf, sun, closest_fn, any_fn, rng_state, cfg, c
                     carry, jnp.int32(i),
                     bucket_frac=None if entries is None else entries[i],
                 )
-        elif entries is None:
-            carry, _ = jax.lax.scan(body, carry, jnp.arange(n_it, dtype=jnp.int32))
         else:
-            # Frame-lagged static bucket schedule: split the scan into groups
-            # of consecutive equal fractions (see pathtrace.run_scheduled_bounces).
-            i = 0
-            while i < n_it:
-                j = i
-                while j < n_it and entries[j] == entries[i]:
-                    j += 1
-                grp = _partial(body, bucket_frac=entries[i])
-                if j - i == 1:
-                    carry, _ = grp(carry, jnp.int32(i))
-                else:
-                    carry, _ = jax.lax.scan(grp, carry, jnp.arange(i, j, dtype=jnp.int32))
-                i = j
+            # Scan (schedule-grouped when a static bucket schedule is set),
+            # shared with the plain path (pathtrace.run_scheduled_bounces).
+            from nebulae_tpu.passes.pathtrace import run_scheduled_bounces
+
+            carry = run_scheduled_bounces(body, carry, n_it, entries, with_index=True)
     rng_state, throughput, alive, acc, surf, view, spread, q_set, dbg, qrec = carry
     if not cfg.nrc_inline_resolve and cfg.max_bounces > 1:
         # Post-scan resolve: one cache query over the latched handoff records

@@ -388,19 +388,26 @@ def _nee_direct(scene, surf, view, sun, alive, any_fn, rng_state, cfg, sort,
     return direct, rng_state, shoot
 
 
-def run_scheduled_bounces(body, carry, n_it: int, entries):
-    """Run `n_it` bounce iterations of `body(carry, _, bucket_frac)`.
+def run_scheduled_bounces(body, carry, n_it: int, entries, with_index: bool = False):
+    """Run `n_it` bounce iterations of `body(carry, x, bucket_frac)`.
 
     With `entries` (per-vertex static bucket fractions) the loop splits into
     groups of consecutive equal fractions -- each group is its own lax.scan
     (or a single inlined call), so every vertex gets its scheduled static
     bucket with at most a handful of traced bodies.  Without a schedule it
     is one uniform scan (the graph stays one-bounce-sized; full unrolling
-    made backward compiles take minutes)."""
+    made backward compiles take minutes).  `with_index` feeds the global
+    iteration index as the scan xs (int32) instead of None -- used by the
+    NRC query pass, whose body indexes per-vertex debug counters."""
     from functools import partial
 
+    def _scan(fn, carry, start, count):
+        if with_index:
+            return jax.lax.scan(fn, carry, jnp.arange(start, start + count, dtype=jnp.int32))
+        return jax.lax.scan(fn, carry, None, length=count)
+
     if entries is None:
-        carry, _ = jax.lax.scan(partial(body, bucket_frac=None), carry, None, length=n_it)
+        carry, _ = _scan(partial(body, bucket_frac=None), carry, 0, n_it)
         return carry
     i = 0
     while i < n_it:
@@ -409,9 +416,9 @@ def run_scheduled_bounces(body, carry, n_it: int, entries):
             j += 1
         grp = partial(body, bucket_frac=entries[i])
         if j - i == 1:
-            carry, _ = grp(carry, None)
+            carry, _ = grp(carry, jnp.int32(i) if with_index else None)
         else:
-            carry, _ = jax.lax.scan(grp, carry, None, length=j - i)
+            carry, _ = _scan(grp, carry, i, j - i)
         i = j
     return carry
 

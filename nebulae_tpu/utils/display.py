@@ -98,11 +98,12 @@ class PreviewServer:
 
     def __init__(self, port: int = 8642, host: str = "127.0.0.1"):
         import http.server
-        import io
 
         self._lock = threading.Lock()
+        self._u8: np.ndarray | None = None
         self._png: bytes | None = None
         self._frame = 0
+        self._encoded_frame = -1
         server_self = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -111,8 +112,7 @@ class PreviewServer:
 
             def do_GET(self):
                 if self.path.startswith("/frame.png"):
-                    with server_self._lock:
-                        data = server_self._png
+                    data = server_self._encode_latest()
                     if data is None:
                         self.send_response(404)
                         self.end_headers()
@@ -147,18 +147,39 @@ class PreviewServer:
         self._thread.start()
 
     def update(self, ldr_or_u8) -> None:
-        """Swap in a new frame (display-linear [0,1] float or sRGB u8)."""
+        """Swap in a new frame (display-linear [0,1] float or sRGB u8).
+
+        Only the u8 buffer is stored here; PNG encoding happens lazily in
+        the HTTP handler thread on request (_encode_latest), so the render
+        loop pays nothing when no viewer is connected."""
+        arr = np.asarray(ldr_or_u8)
+        data = arr if arr.dtype == np.uint8 else ldr_to_srgb_u8(arr)
+        with self._lock:
+            self._u8 = data
+            self._frame += 1
+
+    def _encode_latest(self) -> bytes | None:
+        """Encode the most recent frame to PNG (handler thread; cached per
+        frame so concurrent viewers share one encode)."""
         import io
 
         from PIL import Image
 
-        arr = np.asarray(ldr_or_u8)
-        data = arr if arr.dtype == np.uint8 else ldr_to_srgb_u8(arr)
+        with self._lock:
+            if self._u8 is None:
+                return self._png
+            if self._encoded_frame == self._frame and self._png is not None:
+                return self._png
+            data, frame = self._u8, self._frame
         buf = io.BytesIO()
         Image.fromarray(data).save(buf, format="PNG")
+        png = buf.getvalue()
         with self._lock:
-            self._png = buf.getvalue()
-            self._frame += 1
+            # A newer frame may have landed mid-encode; cache what we have
+            # (the next request re-encodes if stale).
+            self._png = png
+            self._encoded_frame = frame
+        return png
 
     def close(self) -> None:
         self._httpd.shutdown()
